@@ -1,0 +1,158 @@
+"""Boundary-condition specification and masks.
+
+Replaces both of the reference's BC frameworks (inline handling in
+Grid/solvers, reference core/grid.py:92-139, and
+boundary_conditions/advanced_bc.py:51-392) with a single static spec that the
+stencil factory consumes:
+
+- **Dirichlet** sides: boundary nodes are *fixed* — they hold the BC value,
+  every solver update is masked off them, and residuals are zero there.
+- **Neumann / Robin** sides (``alpha*u + beta*du/dn = g``, outward normal):
+  boundary nodes are *unknowns*; the ghost point is eliminated into the edge
+  equation, which shows up as modified stencil coefficients and an RHS term
+  (see ops/stencil.py). Matches the one-sided-difference semantics of
+  reference boundary_conditions/advanced_bc.py:139-180.
+- **Periodic**: planned (wrap neighbors); tracked in ops/stencil.py.
+
+Masks are generated from ``lax.broadcasted_iota`` inside jit, so they cost no
+HBM traffic and no per-level storage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+SIDES = ("west", "east", "south", "north")  # i=0, i=nx-1, j=0, j=ny-1
+
+
+class BCKind(enum.Enum):
+    DIRICHLET = "dirichlet"
+    NEUMANN = "neumann"
+    ROBIN = "robin"
+    PERIODIC = "periodic"
+
+
+@dataclasses.dataclass(frozen=True)
+class BCSide:
+    """One side's condition: alpha*u + beta*du/dn = g (g supplied separately).
+
+    Dirichlet: u = g  (alpha=1, beta=0 conceptually).
+    Neumann:   du/dn = g (alpha=0, beta=1).
+    Robin:     alpha*u + beta*du/dn = g, beta != 0.
+    """
+
+    kind: BCKind = BCKind.DIRICHLET
+    alpha: float = 0.0
+    beta: float = 1.0
+
+    def __post_init__(self):
+        if self.kind == BCKind.ROBIN and self.beta == 0.0:
+            raise ValueError("Robin BC requires beta != 0")
+
+
+@dataclasses.dataclass(frozen=True)
+class BoundarySpec:
+    """Static, hashable BC description for all four sides."""
+
+    west: BCSide = BCSide()
+    east: BCSide = BCSide()
+    south: BCSide = BCSide()
+    north: BCSide = BCSide()
+
+    def side(self, name: str) -> BCSide:
+        return getattr(self, name)
+
+    @property
+    def all_dirichlet(self) -> bool:
+        return all(self.side(s).kind == BCKind.DIRICHLET for s in SIDES)
+
+    @property
+    def any_periodic(self) -> bool:
+        return any(self.side(s).kind == BCKind.PERIODIC for s in SIDES)
+
+    def validate(self) -> None:
+        # Periodic must pair up; pure-Neumann problems are singular
+        # (reference advanced_bc.py:374-390 warns the same way).
+        w, e = self.west.kind, self.east.kind
+        s, n = self.south.kind, self.north.kind
+        if (w == BCKind.PERIODIC) != (e == BCKind.PERIODIC):
+            raise ValueError("periodic BC must be set on both west and east")
+        if (s == BCKind.PERIODIC) != (n == BCKind.PERIODIC):
+            raise ValueError("periodic BC must be set on both south and north")
+
+
+def dirichlet() -> BoundarySpec:
+    """Homogeneous-style all-Dirichlet spec (values supplied per problem)."""
+    return BoundarySpec()
+
+
+def neumann() -> BoundarySpec:
+    side = BCSide(kind=BCKind.NEUMANN)
+    return BoundarySpec(side, side, side, side)
+
+
+def mixed(**kwargs) -> BoundarySpec:
+    """Build a spec from per-side kinds, e.g. mixed(west='neumann')."""
+    sides = {}
+    for name in SIDES:
+        val = kwargs.get(name, "dirichlet")
+        if isinstance(val, BCSide):
+            sides[name] = val
+        else:
+            sides[name] = BCSide(kind=BCKind(val))
+    return BoundarySpec(**sides)
+
+
+def unknown_mask(nx: int, ny: int, pshape: Tuple[int, int], spec: BoundarySpec):
+    """Boolean (padded) mask: True where the solver owns the node.
+
+    Padding cells and Dirichlet-side boundary nodes are False; Neumann/Robin
+    boundary nodes are True. Built from iota so XLA fuses it into consumers.
+    """
+    i = jax.lax.broadcasted_iota(jnp.int32, pshape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
+    mask = (i < nx) & (j < ny)
+    if spec.west.kind == BCKind.DIRICHLET:
+        mask &= i > 0
+    if spec.east.kind == BCKind.DIRICHLET:
+        mask &= i < nx - 1
+    if spec.south.kind == BCKind.DIRICHLET:
+        mask &= j > 0
+    if spec.north.kind == BCKind.DIRICHLET:
+        mask &= j < ny - 1
+    return mask
+
+
+def side_mask(name: str, nx: int, ny: int, pshape: Tuple[int, int]):
+    """Boolean (padded) mask selecting the logical nodes of one side."""
+    i = jax.lax.broadcasted_iota(jnp.int32, pshape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
+    logical = (i < nx) & (j < ny)
+    if name == "west":
+        return logical & (i == 0)
+    if name == "east":
+        return logical & (i == nx - 1)
+    if name == "south":
+        return logical & (j == 0)
+    if name == "north":
+        return logical & (j == ny - 1)
+    raise ValueError(name)
+
+
+def interior_mask(nx: int, ny: int, pshape: Tuple[int, int]):
+    """Strict interior of the logical region (all four rings excluded)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, pshape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
+    return (i > 0) & (i < nx - 1) & (j > 0) & (j < ny - 1)
+
+
+def logical_mask(nx: int, ny: int, pshape: Tuple[int, int]):
+    """All logical (non-padding) nodes."""
+    i = jax.lax.broadcasted_iota(jnp.int32, pshape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
+    return (i < nx) & (j < ny)

@@ -1,0 +1,294 @@
+"""Problem definitions and manufactured-solution (MMS) test problems.
+
+Covers the reference's ``PoissonTestProblems`` catalogue (reference
+applications/test_problems.py:27-295) and the steady MMS problems of
+``MMSValidator`` (reference validation/mms_validation.py:77-277), but with
+hand-derived exact/f pairs instead of sympy (symbolic work at setup is host
+code anyway; the derivations are one-liners documented per problem).
+
+A ``Problem`` carries padded field arrays + the static grid/BC spec, and knows
+how to build its hierarchy and initial guess. Unlike the reference, Helmholtz
+and variable-coefficient problems are solved *for real* (the reference only
+simulated them, reference benchmarks/validation_suite.py:256-300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import bc as bc_mod
+from ..core.bc import BCKind, BoundarySpec
+from ..core.grid import Grid
+from ..ops import norms
+from ..ops import stencil as st_mod
+
+
+def eval_padded(grid: Grid, fn: Callable, dtype=np.float64) -> np.ndarray:
+    """Evaluate fn(X, Y) on the padded mesh, zeroing padding cells."""
+    X, Y = grid.coordinates(padded=True)
+    vals = np.asarray(fn(X, Y), dtype=dtype)
+    vals = np.broadcast_to(vals, X.shape).copy()
+    vals[grid.nx :, :] = 0.0
+    vals[:, grid.ny :] = 0.0
+    return vals
+
+
+@dataclasses.dataclass
+class Problem:
+    """A discretized scalar elliptic problem A u = f with BC data.
+
+    Counterpart of reference applications/poisson_solver.py:25 (PoissonProblem)
+    plus the coefficient/shift generality of SURVEY section 7 decision 2.
+    """
+
+    name: str
+    grid: Grid
+    spec: BoundarySpec = BoundarySpec()
+    f: Any = None                      # padded RHS (excl. BC corrections)
+    a: Any = None                      # padded coefficient field or None
+    lam: Any = 0.0                     # scalar or padded array
+    dirichlet_values: Any = None       # padded array with g on Dirichlet rings
+    bc_values: Optional[Dict[str, Any]] = None  # Neumann/Robin g per side
+    exact: Any = None                  # padded exact solution (MMS) or None
+
+    def rhs(self, dtype=jnp.float32):
+        """Full RHS including Neumann/Robin ghost-elimination corrections."""
+        f = jnp.asarray(self.f, dtype)
+        if self.bc_values:
+            f = f + st_mod.bc_rhs_correction(self.grid, self.spec,
+                                             self.bc_values, dtype)
+        return f
+
+    def initial_guess(self, dtype=jnp.float32):
+        """Zero interior with Dirichlet values installed on the boundary ring."""
+        u0 = jnp.zeros(self.grid.shape_padded, dtype)
+        if self.dirichlet_values is not None and not _no_dirichlet(self.spec):
+            g = self.grid
+            fixed = bc_mod.logical_mask(g.nx, g.ny, g.shape_padded) & ~bc_mod.unknown_mask(
+                g.nx, g.ny, g.shape_padded, self.spec
+            )
+            u0 = jnp.where(fixed, jnp.asarray(self.dirichlet_values, dtype), u0)
+        return u0
+
+    def error_norms(self, u) -> Dict[str, float]:
+        """L2 (grid-scaled) and Linf error vs the exact solution
+        (reference poisson_solver.py:281-313)."""
+        if self.exact is None:
+            raise ValueError(f"problem {self.name!r} has no exact solution")
+        g = self.grid
+        mask = bc_mod.logical_mask(g.nx, g.ny, g.shape_padded)
+        diff = jnp.where(mask, u.astype(jnp.float64) - jnp.asarray(self.exact), 0.0)
+        return {
+            "l2": float(norms.scaled_l2(diff, g.hx, g.hy)),
+            "linf": float(jnp.max(jnp.abs(diff))),
+        }
+
+
+def _no_dirichlet(spec: BoundarySpec) -> bool:
+    return all(spec.side(s).kind != BCKind.DIRICHLET for s in bc_mod.SIDES)
+
+
+def from_callables(
+    name: str,
+    grid: Grid,
+    *,
+    u_exact: Optional[Callable] = None,
+    f: Callable,
+    spec: BoundarySpec = BoundarySpec(),
+    a: Optional[Callable] = None,
+    lam: Any = 0.0,
+    bc_values: Optional[Dict[str, Any]] = None,
+) -> Problem:
+    """Assemble a Problem from host callables of (X, Y)."""
+    exact = eval_padded(grid, u_exact) if u_exact is not None else None
+    return Problem(
+        name=name,
+        grid=grid,
+        spec=spec,
+        f=eval_padded(grid, f),
+        a=eval_padded(grid, a) if a is not None else None,
+        lam=lam,
+        dirichlet_values=exact if exact is not None else None,
+        bc_values=bc_values,
+        exact=exact,
+    )
+
+
+# --------------------------------------------------------------------------
+# MMS catalogue (reference test_problems.py:27-295, mms_validation.py:77-277)
+# --------------------------------------------------------------------------
+
+def poisson_mms_sinsin(n: int, domain=(0.0, 1.0, 0.0, 1.0)) -> Problem:
+    """u = sin(pi x) sin(pi y), f = 2 pi^2 u. Homogeneous Dirichlet.
+
+    The reference's primary validation problem (reference
+    corrected_multigrid.py:399-429 'trig')."""
+    grid = Grid(n, n, domain)
+    pi = np.pi
+    return from_callables(
+        "poisson_sinsin", grid,
+        u_exact=lambda X, Y: np.sin(pi * X) * np.sin(pi * Y),
+        f=lambda X, Y: 2 * pi**2 * np.sin(pi * X) * np.sin(pi * Y),
+    )
+
+
+def poisson_mms_polynomial(n: int) -> Problem:
+    """u = x(1-x)y(1-y), f = 2[x(1-x) + y(1-y)]
+    (reference test_problems.py 'polynomial')."""
+    grid = Grid(n, n)
+    return from_callables(
+        "poisson_polynomial", grid,
+        u_exact=lambda X, Y: X * (1 - X) * Y * (1 - Y),
+        f=lambda X, Y: 2 * (X * (1 - X) + Y * (1 - Y)),
+    )
+
+
+def poisson_mms_high_frequency(n: int, k: int = 4) -> Problem:
+    """u = sin(k pi x) sin(k pi y) (reference test_problems.py 'high_frequency')."""
+    grid = Grid(n, n)
+    pi = np.pi
+    return from_callables(
+        f"poisson_highfreq_k{k}", grid,
+        u_exact=lambda X, Y: np.sin(k * pi * X) * np.sin(k * pi * Y),
+        f=lambda X, Y: 2 * (k * pi) ** 2 * np.sin(k * pi * X) * np.sin(k * pi * Y),
+    )
+
+
+def poisson_mms_inhomogeneous(n: int) -> Problem:
+    """u = x^2 + y^2 (inhomogeneous Dirichlet), f = -4
+    (reference test_problems.py 'mixed')."""
+    grid = Grid(n, n)
+    return from_callables(
+        "poisson_inhomogeneous", grid,
+        u_exact=lambda X, Y: X**2 + Y**2,
+        f=lambda X, Y: -4.0 + 0.0 * X,
+    )
+
+
+def poisson_mms_exponential(n: int) -> Problem:
+    """u = exp(x+y) sin(pi x) sin(pi y); f = -lap(u) hand-derived.
+
+    lap(u) = e^{x+y}[2 sin sin + 2 pi (cos sin + sin cos) - 2 pi^2 sin sin].
+    (reference test_problems.py 'exponential')."""
+    grid = Grid(n, n)
+    pi = np.pi
+
+    def u(X, Y):
+        return np.exp(X + Y) * np.sin(pi * X) * np.sin(pi * Y)
+
+    def f(X, Y):
+        E = np.exp(X + Y)
+        sx, cx = np.sin(pi * X), np.cos(pi * X)
+        sy, cy = np.sin(pi * Y), np.cos(pi * Y)
+        lap = E * (2 * sx * sy + 2 * pi * (cx * sy + sx * cy) - 2 * pi**2 * sx * sy)
+        return -lap
+
+    return from_callables("poisson_exponential", grid, u_exact=u, f=f)
+
+
+def poisson_mms_anisotropic(n: int, ax: float = 1.0, ay: float = 0.01) -> Problem:
+    """Anisotropic domain scaling via unequal spacings: solved on [0,1]x[0,1]
+    with u = sin(pi x) sin(pi y) against -(ax u_xx + ay u_yy) = f.
+
+    Modeled with the variable-coefficient machinery would need a tensor a;
+    instead we rescale the y-domain so hy/hx = sqrt(ay/ax), the standard
+    equivalent test (reference test_problems.py 'anisotropic' uses coefficient
+    form; both probe smoother robustness to anisotropy)."""
+    aspect = float(np.sqrt(ay / ax))
+    grid = Grid(n, n, (0.0, 1.0, 0.0, aspect))
+    pi = np.pi
+    ky = pi / aspect
+    return from_callables(
+        "poisson_anisotropic", grid,
+        u_exact=lambda X, Y: np.sin(pi * X) * np.sin(ky * Y),
+        f=lambda X, Y: (pi**2 + ky**2) * np.sin(pi * X) * np.sin(ky * Y),
+    )
+
+
+def neumann_test_problem(n: int) -> Problem:
+    """u = x^2 + y^2, f = -4; Neumann (du/dn = g from exact) on east, Dirichlet
+    elsewhere (reference test_problems.py 'neumann_test' semantics)."""
+    grid = Grid(n, n)
+    spec = bc_mod.mixed(east="neumann")
+    # east outward normal = +x: g = du/dx = 2x = 2 at x=1
+    prob = from_callables(
+        "poisson_neumann_east", grid,
+        u_exact=lambda X, Y: X**2 + Y**2,
+        f=lambda X, Y: -4.0 + 0.0 * X,
+        spec=spec,
+        bc_values={"east": 2.0},
+    )
+    return prob
+
+
+def helmholtz_mms(n: int, k: float = 2.0) -> Problem:
+    """-(lap u) - k^2 u = f with u = sin(pi x) sin(pi y):
+    f = (2 pi^2 - k^2) u. Real Helmholtz — the reference only simulated this
+    (reference benchmarks/validation_suite.py:256-300). Definite as long as
+    k^2 < 2 pi^2."""
+    grid = Grid(n, n)
+    pi = np.pi
+    prob = from_callables(
+        f"helmholtz_k{k}", grid,
+        u_exact=lambda X, Y: np.sin(pi * X) * np.sin(pi * Y),
+        f=lambda X, Y: (2 * pi**2 - k**2) * np.sin(pi * X) * np.sin(pi * Y),
+        lam=-float(k) ** 2,
+    )
+    return prob
+
+
+def variable_coefficient_mms(n: int) -> Problem:
+    """-div(a grad u) = f with a = 1 + x + y (smooth, positive) and
+    u = sin(pi x) sin(pi y).
+
+    f = a * 2 pi^2 sin sin - pi (cos sin + sin cos) since grad a = (1, 1):
+    -div(a grad u) = -a lap u - grad a . grad u."""
+    grid = Grid(n, n)
+    pi = np.pi
+
+    def f(X, Y):
+        a = 1.0 + X + Y
+        sx, cx = np.sin(pi * X), np.cos(pi * X)
+        sy, cy = np.sin(pi * Y), np.cos(pi * Y)
+        return a * 2 * pi**2 * sx * sy - pi * (cx * sy + sx * cy)
+
+    return from_callables(
+        "varcoef_linear", grid,
+        u_exact=lambda X, Y: np.sin(pi * X) * np.sin(pi * Y),
+        f=f,
+        a=lambda X, Y: 1.0 + X + Y,
+    )
+
+
+def jump_coefficient_problem(n: int, ratio: float = 1e3) -> Problem:
+    """Piecewise-constant coefficient with a ratio:1 jump at x = 0.5
+    (reference docs/results.md jump-coefficient robustness row). No closed-form
+    exact solution; used for convergence-factor tests with f = 1."""
+    grid = Grid(n, n)
+
+    def a(X, Y):
+        return np.where(X < 0.5, 1.0, ratio)
+
+    return from_callables(
+        f"jumpcoef_{ratio:g}", grid,
+        f=lambda X, Y: 1.0 + 0.0 * X,
+        a=a,
+    )
+
+
+CATALOGUE = {
+    "trigonometric": poisson_mms_sinsin,
+    "polynomial": poisson_mms_polynomial,
+    "high_frequency": poisson_mms_high_frequency,
+    "mixed": poisson_mms_inhomogeneous,
+    "exponential": poisson_mms_exponential,
+    "anisotropic": poisson_mms_anisotropic,
+    "neumann_test": neumann_test_problem,
+    "helmholtz": helmholtz_mms,
+    "variable_coefficient": variable_coefficient_mms,
+    "jump_coefficient": jump_coefficient_problem,
+}

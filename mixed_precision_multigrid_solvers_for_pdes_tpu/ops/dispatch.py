@@ -1,0 +1,59 @@
+"""Backend dispatch between the XLA reference path and Pallas TPU kernels.
+
+The Pallas fast path (ops/pallas_kernels) applies when:
+- running on TPU with backend 'auto', or backend 'pallas' is forced,
+- the level's arrays fit in VMEM (whole-grid-resident multi-sweep kernels),
+- the stencil is on the scalar (constant-coefficient, all-Dirichlet) fast path.
+
+Everything else uses the vectorized XLA implementations, which are also the
+numerical ground truth in tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import smooth as smooth_mod
+
+# VMEM budget for the whole-grid-resident kernels. Empirically on v5e the
+# multisweep kernel compiles up to ~2MB arrays (u, f, out, fori double-buffers
+# ~6 live copies in 16MB VMEM); larger fine levels take the XLA path until the
+# tiled kernel lands.
+_VMEM_BUDGET = 12 * 1024 * 1024
+_LIVE_COPIES = 6
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pallas_smooth_ok(stencil, u, lev, backend: str) -> bool:
+    if backend == "xla":
+        return False
+    if backend == "auto" and not _on_tpu():
+        return False
+    if jnp.ndim(stencil.c) != 0:
+        return False  # variable-coefficient / Neumann path: XLA for now
+    if u.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    nbytes = u.size * u.dtype.itemsize
+    return _LIVE_COPIES * nbytes <= _VMEM_BUDGET
+
+
+def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
+           backend: str = "auto"):
+    if _pallas_smooth_ok(stencil, u, lev, backend):
+        from .pallas_kernels import smooth as psmooth
+
+        return psmooth.multisweep(
+            stencil, u, f,
+            nx=lev.grid.nx, ny=lev.grid.ny,
+            method=method, sweeps=sweeps, omega=omega,
+        )
+    return smooth_mod.smooth(
+        stencil, u, f, lev.unknown, method=method, sweeps=sweeps, omega=omega
+    )

@@ -1,0 +1,92 @@
+"""Smoothers (XLA reference path; Pallas fast path in ops/pallas_kernels).
+
+TPU-native re-design of the reference smoother zoo
+(reference solvers/smoothers.py:16-285, iterative.py:72-362,
+gpu/cuda_kernels.py:87-275):
+
+- weighted Jacobi (default omega=4/5, the reference's WeightedJacobiSmoother
+  choice, reference smoothers.py:210)
+- red-black Gauss-Seidel (color-masked, matches the CUDA
+  red_black_gauss_seidel_kernel semantics, reference cuda_kernels.py:147-177)
+- SOR = red-black GS with over-relaxation (reference cuda_kernels.py:180-211),
+  with the optimal omega* = 2/(1+sin(pi*h)) helper
+  (reference iterative.py:285-300)
+
+All smoothers are pure functions ``(stencil, u, f, unknown, ...) -> u`` with a
+static sweep count, so the whole smoothing stage stays inside one jitted
+computation (the reference GPU path synchronized per kernel launch,
+reference cuda_kernels.py:346 — the #1 perf bug this design removes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from . import stencil as st_mod
+from .stencil import Stencil
+
+
+def optimal_sor_omega(nx: int, ny: int) -> float:
+    """omega* = 2/(1+sin(pi*h)) for the 5-point Laplacian
+    (reference iterative.py:285-300)."""
+    h = 1.0 / (max(nx, ny) - 1)
+    return 2.0 / (1.0 + math.sin(math.pi * h))
+
+
+def optimal_jacobi_omega() -> float:
+    """Damped-Jacobi smoothing optimum for the 2D 5-point Laplacian (4/5)."""
+    return 0.8
+
+
+def _parity(pshape):
+    i = jax.lax.broadcasted_iota(jnp.int32, pshape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
+    return (i + j) % 2 == 0
+
+
+def jacobi_sweep(st: Stencil, u, f, unknown, omega):
+    """One weighted-Jacobi sweep: u += omega * (f - A u) / diag, masked."""
+    r = f - st_mod.apply(st, u)
+    u_new = u + jnp.asarray(omega, u.dtype) * r / st.c
+    return jnp.where(unknown, u_new, u)
+
+
+def rb_color_update(st: Stencil, u, f, unknown, color_mask, omega):
+    """Gauss-Seidel update of one color: u = (f + neighbor_sum)/c, relaxed."""
+    u_gs = (f + st_mod.neighbor_sum(st, u)) / st.c
+    omega = jnp.asarray(omega, u.dtype)
+    u_new = u + omega * (u_gs - u)
+    return jnp.where(color_mask & unknown, u_new, u)
+
+
+def rbgs_sweep(st: Stencil, u, f, unknown, omega=1.0):
+    """One red-black Gauss-Seidel sweep (red then black).
+
+    Black updates see the freshly-updated red values — true GS ordering, same
+    as reference cuda_kernels.py:147-177 launched per color.
+    """
+    red = _parity(u.shape)
+    u = rb_color_update(st, u, f, unknown, red, omega)
+    u = rb_color_update(st, u, f, unknown, ~red, omega)
+    return u
+
+
+def smooth(st: Stencil, u, f, unknown, *, method: str = "jacobi",
+           sweeps: int = 2, omega: float = 0.8):
+    """Run ``sweeps`` smoothing sweeps (static count -> unrolled/fori_loop)."""
+    if method == "jacobi":
+        body = lambda _, u: jacobi_sweep(st, u, f, unknown, omega)
+    elif method in ("rbgs", "gauss_seidel", "red_black"):
+        body = lambda _, u: rbgs_sweep(st, u, f, unknown, omega)
+    elif method == "sor":
+        body = lambda _, u: rbgs_sweep(st, u, f, unknown, omega)
+    else:
+        raise ValueError(f"unknown smoother {method!r}")
+    if sweeps <= 2:
+        for k in range(sweeps):
+            u = body(k, u)
+        return u
+    return jax.lax.fori_loop(0, sweeps, body, u)

@@ -1,0 +1,163 @@
+"""Intergrid transfers: restriction and prolongation (XLA reference path).
+
+Replaces the reference's Python-loop ``RestrictionOperator`` /
+``ProlongationOperator`` (reference operators/transfer.py:15,151) and the CUDA
+restriction/prolongation kernels (reference cuda_kernels.py:451-541) with
+vectorized strided-slice formulations that XLA maps onto the VPU. The fused
+Pallas variants live in ops/pallas_kernels/transfer.py.
+
+Grids are padded; slicing operates on the logical region, and padding cells of
+outputs stay zero by construction. Coarse (ncx, ncy) relates to fine as
+nf = 2*(nc-1)+1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _fine_window(rf, ncx, ncy, d0, d1):
+    """fine[2i+d0, 2j+d1] for coarse interior i=1..ncx-2, j=1..ncy-2."""
+    return rf[2 + d0 : 2 * (ncx - 2) + d0 + 1 : 2,
+              2 + d1 : 2 * (ncy - 2) + d1 + 1 : 2]
+
+
+def restrict(
+    rf,
+    ncx: int,
+    ncy: int,
+    pshape_coarse,
+    *,
+    method: str = "full_weighting",
+    boundary: str = "zero",
+    dtype=None,
+):
+    """Fine -> coarse transfer.
+
+    methods (reference operators/transfer.py:53-148):
+      full_weighting — 9-point [1 2 1; 2 4 2; 1 2 1]/16
+      half_weighting — 5-point [0 1 0; 1 4 1; 0 1 0]/8
+      injection      — coarse[i,j] = fine[2i,2j]
+
+    boundary:
+      'zero'    — ring nodes left at zero (residual transfers with Dirichlet
+                  rings, which carry zero residual anyway).
+      'inject'  — ring nodes copied from coincident fine nodes (FMG RHS).
+      'reflect' — reflection-renormalized full weighting at ring nodes: the
+                  out-of-domain window weights fold back onto the interior
+                  ([1 2 1] -> [2 2] along the normal), preserving constants.
+                  This is the correct residual transfer for Neumann/Robin
+                  rings (reference cuda_kernels.py:451-494 renormalizes its
+                  boundary weights for the same reason); with injection
+                  instead, the two-grid factor degrades to ~0.4 and the
+                  multilevel cycle diverges.
+    """
+    dtype = dtype or rf.dtype
+    nfy_needed = 2 * (ncy - 1) + 1
+    nfx_needed = 2 * (ncx - 1) + 1
+
+    if method == "injection":
+        interior = _fine_window(rf, ncx, ncy, 0, 0)
+    elif method == "half_weighting":
+        interior = 0.5 * _fine_window(rf, ncx, ncy, 0, 0)
+        for d0, d1 in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            interior = interior + 0.125 * _fine_window(rf, ncx, ncy, d0, d1)
+    elif method == "full_weighting":
+        interior = None
+        for d0 in (-1, 0, 1):
+            for d1 in (-1, 0, 1):
+                wgt = (2 - abs(d0)) * (2 - abs(d1)) / 16.0
+                term = wgt * _fine_window(rf, ncx, ncy, d0, d1)
+                interior = term if interior is None else interior + term
+    else:
+        raise ValueError(f"unknown restriction {method!r}")
+
+    out = jnp.zeros(pshape_coarse, dtype)
+    out = out.at[1 : ncx - 1, 1 : ncy - 1].set(interior.astype(dtype))
+    if boundary == "inject":
+        out = out.at[0, :ncy].set(rf[0, 0:nfy_needed:2].astype(dtype))
+        out = out.at[ncx - 1, :ncy].set(rf[nfx_needed - 1, 0:nfy_needed:2].astype(dtype))
+        out = out.at[:ncx, 0].set(rf[0:nfx_needed:2, 0].astype(dtype))
+        out = out.at[:ncx, ncy - 1].set(rf[0:nfx_needed:2, nfy_needed - 1].astype(dtype))
+    elif boundary == "reflect":
+        nfx, nfy = nfx_needed, nfy_needed
+
+        def tang(row0, row1, n_tan):
+            # folded normal weights [2, 2]/16, tangential [1, 2, 1]:
+            # value_j = sum_d (2-|d|)/8 * (row0[2j+d] + row1[2j+d]), j=1..n-2
+            def sl(r, d):
+                return r[2 + d : 2 * (n_tan - 2) + d + 1 : 2]
+
+            acc = None
+            for d in (-1, 0, 1):
+                term = (2 - abs(d)) / 8.0 * (sl(row0, d) + sl(row1, d))
+                acc = term if acc is None else acc + term
+            return acc
+
+        out = out.at[0, 1 : ncy - 1].set(tang(rf[0, :], rf[1, :], ncy).astype(dtype))
+        out = out.at[ncx - 1, 1 : ncy - 1].set(
+            tang(rf[nfx - 1, :], rf[nfx - 2, :], ncy).astype(dtype)
+        )
+        out = out.at[1 : ncx - 1, 0].set(tang(rf[:, 0], rf[:, 1], ncx).astype(dtype))
+        out = out.at[1 : ncx - 1, ncy - 1].set(
+            tang(rf[:, nfy - 1], rf[:, nfy - 2], ncx).astype(dtype)
+        )
+        # corners: both normals folded -> mean of the 2x2 fine corner block
+        for ci, fi in ((0, 0), (ncx - 1, nfx - 2)):
+            for cj, fj in ((0, 0), (ncy - 1, nfy - 2)):
+                blk = 0.25 * (rf[fi, fj] + rf[fi + 1, fj]
+                              + rf[fi, fj + 1] + rf[fi + 1, fj + 1])
+                out = out.at[ci, cj].set(blk.astype(dtype))
+    return out
+
+
+def prolong(
+    ec,
+    ncx: int,
+    ncy: int,
+    nfx: int,
+    nfy: int,
+    pshape_fine,
+    *,
+    method: str = "bilinear",
+    dtype=None,
+):
+    """Coarse -> fine transfer (bilinear or injection),
+    reference operators/transfer.py:234-266 and cuda_kernels.py:497-541.
+
+    Coincident fine nodes copy the coarse value; odd-row/col nodes average 2
+    coarse neighbors; odd-odd nodes average 4.
+    """
+    dtype = dtype or ec.dtype
+    c = ec[:ncx, :ncy].astype(dtype)
+    if method == "injection":
+        out = jnp.zeros(pshape_fine, dtype)
+        return out.at[0:nfx:2, 0:nfy:2].set(c)
+    if method != "bilinear":
+        raise ValueError(f"unknown prolongation {method!r}")
+    # Interleave-reshape formulation: build the four fine parities over coarse
+    # cells, then merge them with stack+reshape. 6x faster on TPU than four
+    # stride-2 scatters (lane interleave vs scatter; measured 0.94ms vs 5.6ms
+    # at 513->1025 fp32 on v5e), and bit-identical.
+    half = jnp.asarray(0.5, dtype)
+    quarter = jnp.asarray(0.25, dtype)
+    tl = c[:-1, :-1]                                   # fine (2i,   2j)
+    tr = half * (c[:-1, :-1] + c[:-1, 1:])             # fine (2i,   2j+1)
+    bl = half * (c[:-1, :-1] + c[1:, :-1])             # fine (2i+1, 2j)
+    br = quarter * (c[:-1, :-1] + c[1:, :-1] + c[:-1, 1:] + c[1:, 1:])
+    blk = jnp.stack(
+        [jnp.stack([tl, tr], axis=-1), jnp.stack([bl, br], axis=-1)], axis=1
+    )  # (ncx-1, 2, ncy-1, 2)
+    body = blk.reshape(2 * (ncx - 1), 2 * (ncy - 1))
+    # last fine row (coincides with the coarse north/east edges)
+    last_row = jnp.stack(
+        [c[-1:, :-1], half * (c[-1:, :-1] + c[-1:, 1:])], axis=-1
+    ).reshape(1, 2 * (ncy - 1))
+    body = jnp.concatenate([body, last_row], axis=0)   # (nfx, nfy-1)
+    last_col = jnp.stack(
+        [c[:-1, -1:], half * (c[:-1, -1:] + c[1:, -1:])], axis=1
+    ).reshape(2 * (ncx - 1), 1)
+    last_col = jnp.concatenate([last_col, c[-1:, -1:]], axis=0)  # (nfx, 1)
+    body = jnp.concatenate([body, last_col], axis=1)   # (nfx, nfy)
+    out = jnp.zeros(pshape_fine, dtype)
+    return out.at[:nfx, :nfy].set(body)

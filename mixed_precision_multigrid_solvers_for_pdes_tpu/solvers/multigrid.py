@@ -1,0 +1,332 @@
+"""Functional geometric multigrid driver (V/W/F cycles, FMG), jit-first.
+
+One driver replaces the reference's five (reference solvers/multigrid.py:28,
+corrected_multigrid.py:24, advanced_multigrid.py:36, gpu/gpu_solver.py:24,504).
+Design (SURVEY.md section 7):
+
+- The hierarchy is a tuple of ``Level``s — stencil coefficients are pytree
+  data, grid/BC/dtype are static metadata — so cycles trace once per
+  (shape, config) and the *entire solve* (outer iteration included) runs as a
+  single XLA computation with no host sync per iteration (the reference GPU
+  path synchronized per kernel and read back the norm per iteration,
+  reference gpu_solver.py:261-268,346).
+- Cycles recurse over levels at trace time (static depth -> fully unrolled).
+- Per-level dtypes implement mixed precision (core/precision.py); transfers
+  cast at level boundaries, and norms accumulate in float64.
+- The coarsest level is smoothed to convergence with red-black GS — the
+  hierarchy bottoms out at one interior unknown for power-of-two-plus-one
+  grids, where a single sweep is the exact solve (the reference iterated GS to
+  1e-12 instead, reference corrected_multigrid.py:366-390).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import bc as bc_mod
+from ..core.bc import BoundarySpec
+from ..core.grid import Grid
+from ..core.precision import PrecisionPolicy, as_dtype
+from ..ops import norms, smooth as smooth_mod, stencil as st_mod, transfer
+from ..ops.stencil import Stencil
+
+
+@dataclasses.dataclass(frozen=True)
+class Level:
+    """One grid level: stencil (data) + static geometry/BC metadata."""
+
+    stencil: Stencil
+    grid: Grid
+    spec: BoundarySpec
+    dtype: Any
+
+    @property
+    def unknown(self):
+        return bc_mod.unknown_mask(
+            self.grid.nx, self.grid.ny, self.grid.shape_padded, self.spec
+        )
+
+
+jax.tree_util.register_dataclass(
+    Level, data_fields=("stencil",), meta_fields=("grid", "spec", "dtype")
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultigridConfig:
+    """Static solver configuration (hashable; reference config/settings.py:58)."""
+
+    cycle: str = "V"              # V | W | F
+    pre_sweeps: int = 2
+    post_sweeps: int = 2
+    smoother: str = "jacobi"      # jacobi | rbgs | sor
+    omega: float = 0.8
+    coarse_sweeps: int = 32
+    max_levels: int = 32
+    restriction: str = "full_weighting"
+    prolongation: str = "bilinear"
+    max_iterations: int = 100
+    tol: float = 1e-10
+    rtol: bool = True             # tolerance relative to ||f||
+    backend: str = "auto"         # auto | xla | pallas
+    # W/F branching applies only on the finest `w_depth` levels; below that the
+    # recursion degrades to V. Full W costs 2^L smooth stages *in the unrolled
+    # XLA graph* — capping bounds compile time while keeping the robustness
+    # benefit where it matters (near the fine grid).
+    w_depth: int = 4
+
+    def replace(self, **kw) -> "MultigridConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------------------
+# hierarchy construction
+# --------------------------------------------------------------------------
+
+def _sample_coarse(field, fine: Grid, coarse: Grid):
+    """Injection-sample a padded fine node field onto the coarse grid."""
+    if field is None or jnp.ndim(field) == 0:
+        return field
+    c = field[0 : fine.nx : 2, 0 : fine.ny : 2]
+    out = jnp.zeros(coarse.shape_padded, field.dtype)
+    return out.at[: coarse.nx, : coarse.ny].set(c[: coarse.nx, : coarse.ny])
+
+
+def build_hierarchy(
+    grid: Grid,
+    spec: BoundarySpec = BoundarySpec(),
+    *,
+    a=None,
+    lam=0.0,
+    policy: Optional[PrecisionPolicy] = None,
+    dtype=None,
+    cfg: MultigridConfig = MultigridConfig(),
+) -> Tuple[Level, ...]:
+    """Build the level tuple by repeated 2:1 coarsening + rediscretization.
+
+    Coefficient fields (``a``, array-valued ``lam``) are injection-sampled to
+    each coarse grid and the operator rebuilt there (rediscretization — the
+    reference does the same implicitly by reusing the analytic stencil,
+    reference multigrid.py:135-182).
+    """
+    grids = [grid]
+    while grids[-1].can_coarsen() and len(grids) < cfg.max_levels:
+        grids.append(grids[-1].coarsen())
+
+    if policy is not None:
+        dtypes = policy.level_dtypes(len(grids))
+    else:
+        dtypes = (as_dtype(dtype if dtype is not None else jnp.float32),) * len(grids)
+
+    levels = []
+    a_l, lam_l = a, lam
+    for g, dt in zip(grids, dtypes):
+        st = st_mod.make_stencil(g, spec, a=a_l, lam=lam_l, dtype=dt)
+        levels.append(Level(stencil=st, grid=g, spec=spec, dtype=np.dtype(dt)))
+        if g.can_coarsen():
+            gc = g.coarsen()
+            a_l = _sample_coarse(a_l, g, gc)
+            lam_l = _sample_coarse(lam_l, g, gc)
+    return tuple(levels)
+
+
+# --------------------------------------------------------------------------
+# cycles
+# --------------------------------------------------------------------------
+
+def _smooth(lev: Level, u, f, cfg: MultigridConfig, sweeps: int):
+    if sweeps <= 0:
+        return u
+    from ..ops import dispatch
+
+    return dispatch.smooth(
+        lev.stencil, u, f, lev,
+        method=cfg.smoother, sweeps=sweeps, omega=cfg.omega, backend=cfg.backend,
+    )
+
+
+def _cycle(levels: Tuple[Level, ...], u, f, lvl: int, cfg: MultigridConfig,
+           cycle_type: str, constrain=None):
+    lev = levels[lvl]
+    unknown = lev.unknown
+    if lvl == len(levels) - 1:
+        # coarsest: RB-GS to (near-)exactness; exact in one sweep when a
+        # single interior unknown remains.
+        coarse_cfg = cfg.replace(smoother="rbgs", omega=1.0)
+        return _smooth(lev, u, f, coarse_cfg, cfg.coarse_sweeps)
+
+    u = _smooth(lev, u, f, cfg, cfg.pre_sweeps)
+    r = st_mod.residual(lev.stencil, u, f, unknown)
+
+    nxt = levels[lvl + 1]
+    boundary = "zero" if lev.spec.all_dirichlet else "reflect"
+    fc = transfer.restrict(
+        r, nxt.grid.nx, nxt.grid.ny, nxt.grid.shape_padded,
+        method=cfg.restriction, boundary=boundary, dtype=nxt.dtype,
+    )
+    if constrain is not None:
+        fc = constrain(fc, nxt)
+    if boundary == "reflect":
+        # 'reflect' fills every ring; zero the Dirichlet-side rings
+        fc = jnp.where(nxt.unknown, fc, jnp.zeros((), fc.dtype))
+    ec = jnp.zeros(nxt.grid.shape_padded, nxt.dtype)
+
+    branch = cycle_type if lvl + 1 < cfg.w_depth else "V"
+    if cycle_type == "V" or branch == "V":
+        ec = _cycle(levels, ec, fc, lvl + 1, cfg, "V", constrain)
+    elif cycle_type == "W":
+        ec = _cycle(levels, ec, fc, lvl + 1, cfg, "W", constrain)
+        ec = _cycle(levels, ec, fc, lvl + 1, cfg, "W", constrain)
+    elif cycle_type == "F":
+        # F-cycle: an F-recursion followed by a V-recursion
+        ec = _cycle(levels, ec, fc, lvl + 1, cfg, "F", constrain)
+        ec = _cycle(levels, ec, fc, lvl + 1, cfg, "V", constrain)
+    else:
+        raise ValueError(f"unknown cycle {cycle_type!r}")
+
+    e = transfer.prolong(
+        ec, nxt.grid.nx, nxt.grid.ny, lev.grid.nx, lev.grid.ny,
+        lev.grid.shape_padded, method=cfg.prolongation, dtype=lev.dtype,
+    )
+    if constrain is not None:
+        e = constrain(e, lev)
+    u = jnp.where(unknown, u + e, u)
+    u = _smooth(lev, u, f, cfg, cfg.post_sweeps)
+    return u
+
+
+def mg_cycle(levels: Tuple[Level, ...], u, f, cfg: MultigridConfig = MultigridConfig(),
+             constrain=None):
+    """One multigrid cycle on the finest level (pure, jittable).
+
+    ``constrain`` optionally maps (array, Level) -> array to inject sharding
+    constraints per level (see parallel.distributed)."""
+    return _cycle(levels, u, f, 0, cfg, cfg.cycle, constrain)
+
+
+def fmg(levels: Tuple[Level, ...], f, cfg: MultigridConfig = MultigridConfig(),
+        cycles_per_level: int = 1):
+    """Full multigrid initialization (reference advanced_multigrid.py:626-683):
+    restrict the RHS to every level, solve coarsest, prolong + cycle upward."""
+    rhs = [f.astype(levels[0].dtype)]
+    for lvl in range(len(levels) - 1):
+        nxt = levels[lvl + 1]
+        rhs.append(
+            transfer.restrict(
+                rhs[-1], nxt.grid.nx, nxt.grid.ny, nxt.grid.shape_padded,
+                method=cfg.restriction, boundary="inject", dtype=nxt.dtype,
+            )
+        )
+    lev = levels[-1]
+    u = jnp.zeros(lev.grid.shape_padded, lev.dtype)
+    u = _cycle(levels, u, rhs[-1], len(levels) - 1, cfg, "V")
+    for lvl in range(len(levels) - 2, -1, -1):
+        lev = levels[lvl]
+        u = transfer.prolong(
+            u, levels[lvl + 1].grid.nx, levels[lvl + 1].grid.ny,
+            lev.grid.nx, lev.grid.ny, lev.grid.shape_padded,
+            method=cfg.prolongation, dtype=lev.dtype,
+        )
+        for _ in range(cycles_per_level):
+            u = _cycle(levels, u, rhs[lvl], lvl, cfg, cfg.cycle)
+    return u
+
+
+# --------------------------------------------------------------------------
+# outer solve
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "use_fmg", "constrain"))
+def _solve_jit(levels, f, u0, cfg: MultigridConfig, use_fmg: bool,
+               constrain=None):
+    lev0 = levels[0]
+    unknown = lev0.unknown
+    hx, hy = lev0.grid.hx, lev0.grid.hy
+    f = f.astype(lev0.dtype)
+    u = u0.astype(lev0.dtype)
+
+    fnorm = norms.masked_scaled_l2(f, unknown, hx, hy)
+    tol_eff = jnp.where(
+        jnp.asarray(cfg.rtol), cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol
+    )
+
+    if use_fmg:
+        u = fmg(levels, f, cfg)
+
+    r0 = st_mod.residual(lev0.stencil, u, f, unknown)
+    rnorm0 = norms.scaled_l2(r0, hx, hy)
+    hist = jnp.full((cfg.max_iterations + 1,), jnp.nan, jnp.float64)
+    hist = hist.at[0].set(rnorm0)
+
+    def cond(carry):
+        u, k, rnorm, hist = carry
+        return (rnorm > tol_eff) & (k < cfg.max_iterations)
+
+    def body(carry):
+        u, k, rnorm, hist = carry
+        u = mg_cycle(levels, u, f, cfg, constrain)
+        r = st_mod.residual(lev0.stencil, u, f, unknown)
+        rnorm = norms.scaled_l2(r, hx, hy)
+        hist = hist.at[k + 1].set(rnorm)
+        return (u, k + 1, rnorm, hist)
+
+    u, k, rnorm, hist = jax.lax.while_loop(
+        cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist)
+    )
+    return u, {
+        "iterations": k,
+        "residual_norm": rnorm,
+        "initial_residual_norm": rnorm0,
+        "rhs_norm": fnorm,
+        "history": hist,
+        "converged": rnorm <= tol_eff,
+    }
+
+
+def convergence_factor(history: np.ndarray) -> float:
+    """Asymptotic factor: mean of the last <=5 residual ratios
+    (reference solvers/base.py:47-64)."""
+    h = np.asarray(history, dtype=np.float64)
+    h = h[np.isfinite(h) & (h > 0)]
+    if h.size < 2:
+        return float("nan")
+    ratios = h[1:] / h[:-1]
+    return float(np.mean(ratios[-5:]))
+
+
+def mg_solve(
+    levels: Tuple[Level, ...],
+    f,
+    u0=None,
+    cfg: MultigridConfig = MultigridConfig(),
+    *,
+    use_fmg: bool = False,
+    constrain=None,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Solve A u = f by repeated multigrid cycles.
+
+    ``f`` and ``u0`` are padded arrays; ``u0`` carries Dirichlet values on its
+    boundary ring (see models.problems). Returns the padded solution and an
+    info dict (iterations, residual history, convergence factor, ...).
+    """
+    if u0 is None:
+        u0 = jnp.zeros(levels[0].grid.shape_padded, levels[0].dtype)
+    u, info = _solve_jit(levels, f, u0, cfg, use_fmg, constrain)
+    it = int(info["iterations"])
+    hist = np.asarray(info["history"])[: it + 1]
+    out = {
+        "iterations": it,
+        "residual_norm": float(info["residual_norm"]),
+        "initial_residual_norm": float(info["initial_residual_norm"]),
+        "rhs_norm": float(info["rhs_norm"]),
+        "history": hist,
+        "converged": bool(info["converged"]),
+        "convergence_factor": convergence_factor(hist),
+    }
+    return u, out

@@ -1,0 +1,210 @@
+"""Mixed-precision solves: iterative refinement and adaptive staging.
+
+This is the TPU-native replacement for the reference's runtime dtype
+switching (reference core/precision.py:155-268, gpu/gpu_precision.py:229-289).
+Under jit dtypes are static, so mixed precision is structured as:
+
+1. **Iterative refinement** (``ir_solve``): the solution and residual live in
+   float64 (XLA-emulated — cheap because it's O(N) work per outer step), while
+   each correction is computed by low-precision multigrid cycles (fp32/bf16 —
+   the fast path). Converges to fp64 accuracy as long as
+   kappa(A)*eps_low < 1; for the 5-point Laplacian kappa ~ (2/pi/h)^2, so fp32
+   inner cycles safely reach 1e-10 up to ~4097^2. This supersedes the
+   reference's fp32-state/fp64-residual CUDA kernel
+   (reference cuda_kernels.py:843-883) at the algorithm level.
+
+2. **Adaptive staging** (``adaptive_solve``): a host-driven stage loop that
+   starts at the lowest precision and promotes on the PrecisionPolicy's
+   stagnation/threshold rules (reference core/precision.py:189-268 semantics),
+   finishing with iterative refinement when the target is tighter than the
+   working precision can represent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.precision import Precision, PrecisionPolicy
+from ..ops import norms, stencil as st_mod
+from . import multigrid as mg_mod
+from .multigrid import MultigridConfig, convergence_factor
+
+
+@partial(jax.jit, static_argnames=("cfg", "inner_cycles", "max_outer"))
+def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
+            max_outer: int):
+    lev0 = levels[0]
+    unknown = lev0.unknown
+    hx, hy = lev0.grid.hx, lev0.grid.hy
+    lo = lev0.dtype
+
+    f = f.astype(jnp.float64)
+    u = u0.astype(jnp.float64)
+    fnorm = norms.masked_scaled_l2(f, unknown, hx, hy)
+    tol_eff = jnp.where(
+        jnp.asarray(cfg.rtol), cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol
+    )
+
+    r0 = st_mod.residual(st_hi, u, f, unknown)
+    rnorm0 = norms.scaled_l2(r0, hx, hy)
+    hist = jnp.full((max_outer + 1,), jnp.nan, jnp.float64)
+    hist = hist.at[0].set(rnorm0)
+
+    def cond(carry):
+        _, k, rnorm, _ = carry
+        return (rnorm > tol_eff) & (k < max_outer)
+
+    def body(carry):
+        u, k, rnorm, hist = carry
+        r = st_mod.residual(st_hi, u, f, unknown)
+        # low-precision correction solve: A e = r, e0 = 0
+        e = jnp.zeros(lev0.grid.shape_padded, lo)
+        r_lo = r.astype(lo)
+        for _ in range(inner_cycles):
+            e = mg_mod.mg_cycle(levels, e, r_lo, cfg)
+        u = jnp.where(unknown, u + e.astype(jnp.float64), u)
+        r = st_mod.residual(st_hi, u, f, unknown)
+        rnorm = norms.scaled_l2(r, hx, hy)
+        hist = hist.at[k + 1].set(rnorm)
+        return (u, k + 1, rnorm, hist)
+
+    u, k, rnorm, hist = jax.lax.while_loop(
+        cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist)
+    )
+    return u, {
+        "iterations": k,
+        "residual_norm": rnorm,
+        "initial_residual_norm": rnorm0,
+        "rhs_norm": fnorm,
+        "history": hist,
+        "converged": rnorm <= tol_eff,
+    }
+
+
+def ir_solve(
+    levels,
+    f,
+    u0=None,
+    cfg: MultigridConfig = MultigridConfig(),
+    *,
+    inner_cycles: int = 1,
+    max_outer: int = 100,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Solve A u = f to fp64 accuracy with low-precision multigrid cycles.
+
+    ``levels`` is a low-precision hierarchy (fp32/bf16/mixed); the fine-level
+    operator is re-materialized in float64 for the outer residual.
+    """
+    lev0 = levels[0]
+    if u0 is None:
+        u0 = jnp.zeros(lev0.grid.shape_padded, jnp.float64)
+    st_hi = lev0.stencil.astype(jnp.float64)
+    u, info = _ir_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer)
+    it = int(info["iterations"])
+    hist = np.asarray(info["history"])[: it + 1]
+    return u, {
+        "iterations": it,
+        "residual_norm": float(info["residual_norm"]),
+        "initial_residual_norm": float(info["initial_residual_norm"]),
+        "rhs_norm": float(info["rhs_norm"]),
+        "history": hist,
+        "converged": bool(info["converged"]),
+        "convergence_factor": convergence_factor(hist),
+        "method": "iterative_refinement",
+    }
+
+
+_STAGE_ORDER = [Precision.BF16, Precision.FP32, Precision.FP64]
+
+
+def adaptive_solve(
+    grid,
+    spec,
+    f,
+    u0=None,
+    *,
+    a=None,
+    lam=0.0,
+    policy: PrecisionPolicy = PrecisionPolicy(mode=Precision.ADAPTIVE),
+    cfg: MultigridConfig = MultigridConfig(),
+    start: Precision = Precision.FP32,
+    chunk: int = 5,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Adaptive-precision solve: run cycle chunks, promote on policy triggers.
+
+    Functional analogue of the reference's AdaptivePrecisionSolver
+    (reference solvers/iterative.py:379-551): start low, promote when the
+    policy detects stagnation or near-convergence, finish with iterative
+    refinement if the final stage's epsilon cannot reach ``cfg.tol``.
+    """
+    stage_idx = _STAGE_ORDER.index(start)
+    hierarchies: Dict[Precision, Any] = {}
+    history: list = []
+    switches: list = []
+    u = u0
+    total_iters = 0
+
+    def get_levels(p: Precision):
+        if p not in hierarchies:
+            hierarchies[p] = mg_mod.build_hierarchy(
+                grid, spec, a=a, lam=lam, dtype=p.dtype, cfg=cfg
+            )
+        return hierarchies[p]
+
+    while True:
+        p = _STAGE_ORDER[stage_idx]
+        eps = float(jnp.finfo(p.dtype).eps)
+        # the working precision limits the reachable relative residual
+        stage_tol = max(cfg.tol, 20.0 * eps)
+        levels = get_levels(p)
+        stage_cfg = cfg.replace(tol=stage_tol, max_iterations=chunk)
+        u, info = mg_mod.mg_solve(levels, f, u, stage_cfg)
+        history.extend(info["history"][1:].tolist())
+        total_iters += info["iterations"]
+
+        rel = info["residual_norm"] / max(info["rhs_norm"], 1e-300)
+        done = info["converged"] and stage_tol <= cfg.tol
+        out_of_budget = total_iters >= cfg.max_iterations
+        if done or out_of_budget:
+            break
+
+        promote = (
+            info["converged"]  # hit the stage floor: need more precision
+            or policy.should_promote(info["history"])
+            or policy.should_upgrade(rel)
+        )
+        if promote:
+            if stage_idx + 1 < len(_STAGE_ORDER):
+                nxt = _STAGE_ORDER[stage_idx + 1]
+                if nxt == Precision.FP64:
+                    # finish with iterative refinement at the current
+                    # (cheap) precision instead of full-fp64 cycles
+                    switches.append((total_iters, "ir"))
+                    u64 = (u if u is not None else
+                           jnp.zeros(grid.shape_padded, jnp.float64))
+                    u, info = ir_solve(
+                        levels, f, u64, cfg,
+                        max_outer=max(1, cfg.max_iterations - total_iters),
+                    )
+                    history.extend(info["history"][1:].tolist())
+                    total_iters += info["iterations"]
+                    break
+                stage_idx += 1
+                switches.append((total_iters, _STAGE_ORDER[stage_idx].value))
+
+    hist = np.asarray([h for h in history if np.isfinite(h)])
+    return u, {
+        "iterations": total_iters,
+        "residual_norm": float(hist[-1]) if hist.size else float("nan"),
+        "rhs_norm": info["rhs_norm"],
+        "history": hist,
+        "converged": bool(info["converged"]),
+        "convergence_factor": convergence_factor(hist),
+        "precision_switches": switches,
+        "method": "adaptive",
+    }

@@ -1,0 +1,38 @@
+"""Test harness: CPU backend with an 8-device virtual mesh.
+
+Set before any jax import so multi-device sharding tests run anywhere
+(the reference could not test its multi-GPU path without >=2 physical GPUs,
+reference tests/unit/test_gpu_acceleration.py:476-517 — we can).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: the solve graphs are compile-heavy on the CPU
+# backend; cache across test runs and xdist workers.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# Tolerances per working precision (reference tests/__init__.py:27-35)
+TEST_CONFIG = {
+    "tolerance_fp32": 1e-5,
+    "tolerance_fp64": 1e-10,
+    "tolerance_mixed": 1e-8,
+    "grid_ladder": [17, 33, 65],
+}
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)

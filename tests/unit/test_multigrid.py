@@ -1,0 +1,131 @@
+"""End-to-end multigrid solves against manufactured solutions.
+
+Real solves, no mocks — replacing the reference's fabricated integration layer
+(reference tests/integration/test_end_to_end.py:22-56 used a MockSolver).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+    MultigridConfig,
+)
+
+CFG_RBGS = MultigridConfig(smoother="rbgs", omega=1.0, tol=1e-10, backend="xla")
+CFG_JAC = MultigridConfig(smoother="jacobi", omega=0.8, tol=1e-10, backend="xla")
+
+
+def _solve(prob, cfg, dtype="float64", **kw):
+    levels = mg.build_hierarchy(
+        prob.grid, prob.spec, a=prob.a, lam=prob.lam, dtype=dtype, cfg=cfg
+    )
+    f = prob.rhs(jnp.dtype(dtype) if dtype != "float64" else jnp.float64)
+    return mg.mg_solve(levels, f, prob.initial_guess(jnp.float64), cfg, **kw)
+
+
+def test_baseline_config1_jacobi_v22():
+    """BASELINE config 1: 129^2 Poisson, fp64 V(2,2) Jacobi -> 1e-10, rho~0.2."""
+    prob = P.poisson_mms_sinsin(129)
+    u, info = _solve(prob, CFG_JAC)
+    assert info["converged"]
+    assert info["convergence_factor"] < 0.25
+    assert prob.error_norms(u)["l2"] < 5e-5
+
+
+def test_rbgs_convergence_factor():
+    prob = P.poisson_mms_sinsin(65)
+    u, info = _solve(prob, CFG_RBGS)
+    assert info["converged"] and info["iterations"] <= 12
+    assert info["convergence_factor"] < 0.12
+
+
+def test_grid_convergence_order_two():
+    errors = {}
+    for n in (17, 33, 65):
+        prob = P.poisson_mms_sinsin(n)
+        u, info = _solve(prob, CFG_RBGS)
+        assert info["converged"]
+        errors[n] = prob.error_norms(u)["l2"]
+    order1 = np.log2(errors[17] / errors[33])
+    order2 = np.log2(errors[33] / errors[65])
+    assert 1.8 < order1 < 2.2 and 1.8 < order2 < 2.2
+
+
+def test_h_independent_iterations():
+    iters = []
+    for n in (33, 65, 129):
+        prob = P.poisson_mms_sinsin(n)
+        _, info = _solve(prob, CFG_RBGS)
+        iters.append(info["iterations"])
+    assert max(iters) - min(iters) <= 2
+
+
+@pytest.mark.parametrize("cycle", ["W", "F"])
+def test_w_and_f_cycles(cycle):
+    prob = P.poisson_mms_sinsin(33)
+    cfg = CFG_RBGS.replace(cycle=cycle)
+    u, info = _solve(prob, cfg)
+    assert info["converged"]
+    assert info["iterations"] <= 8
+
+
+def test_fmg_initialization_saves_cycles():
+    prob = P.poisson_mms_sinsin(65)
+    _, info_plain = _solve(prob, CFG_RBGS)
+    _, info_fmg = _solve(prob, CFG_RBGS, use_fmg=True)
+    assert info_fmg["converged"]
+    assert info_fmg["iterations"] < info_plain["iterations"]
+
+
+def test_helmholtz_real_solve():
+    prob = P.helmholtz_mms(65, k=2.0)
+    u, info = _solve(prob, CFG_RBGS)
+    assert info["converged"]
+    assert prob.error_norms(u)["l2"] < 2e-4
+
+
+def test_variable_coefficient_real_solve():
+    prob = P.variable_coefficient_mms(65)
+    u, info = _solve(prob, CFG_RBGS)
+    assert info["converged"]
+    assert info["convergence_factor"] < 0.2
+    assert prob.error_norms(u)["l2"] < 2e-4
+
+
+def test_jump_coefficient_converges():
+    prob = P.jump_coefficient_problem(65, ratio=1e3)
+    u, info = _solve(prob, CFG_RBGS.replace(max_iterations=60))
+    assert info["converged"]
+
+
+def test_neumann_mixed_bc():
+    prob = P.neumann_test_problem(65)
+    u, info = _solve(prob, CFG_RBGS)
+    assert info["converged"]
+    assert info["convergence_factor"] < 0.15
+    # x^2+y^2 is exactly represented by the discretization
+    assert prob.error_norms(u)["l2"] < 1e-9
+
+
+def test_inhomogeneous_dirichlet():
+    prob = P.poisson_mms_inhomogeneous(33)
+    u, info = _solve(prob, CFG_RBGS)
+    assert info["converged"]
+    assert prob.error_norms(u)["l2"] < 1e-10  # exact discretization
+
+
+def test_anisotropic_domain():
+    prob = P.poisson_mms_anisotropic(65)
+    u, info = _solve(prob, CFG_RBGS)
+    assert info["converged"]
+
+
+def test_history_monotone_and_rho():
+    prob = P.poisson_mms_sinsin(65)
+    _, info = _solve(prob, CFG_RBGS)
+    h = info["history"]
+    assert np.all(np.diff(h) < 0)
+    assert 0 < info["convergence_factor"] < 1
