@@ -1,0 +1,163 @@
+"""3D heat-equation time stepping — real (the reference's HeatSolver3D was a
+memory-estimator stub, reference applications/heat_solver.py:752-792).
+
+Same design as applications/heat.py: implicit steps are shifted-operator
+multigrid cycles with the shift folded into the 7-point diagonal, the whole
+fixed-dt loop is one ``lax.scan``. Reuses HeatConfig.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid3d import Grid3D
+from ..ops import stencil3d as st3
+from ..solvers import multigrid3d as mg3
+from ..solvers.multigrid import MultigridConfig
+from .heat import HeatConfig
+
+
+@dataclasses.dataclass
+class HeatProblem3D:
+    name: str
+    grid: Grid3D
+    alpha: float = 1.0
+    u0: Any = None
+    q: Optional[Callable] = None       # q(X, Y, Z, t) jnp ops
+    exact: Optional[Callable] = None   # exact(X, Y, Z, t) jnp ops
+    a: Any = None
+
+    def mesh(self, dtype=jnp.float64):
+        X, Y, Z = self.grid.coordinates(padded=True)
+        return (jnp.asarray(X, dtype), jnp.asarray(Y, dtype),
+                jnp.asarray(Z, dtype))
+
+    def initial_state(self, dtype) -> jnp.ndarray:
+        if self.u0 is not None:
+            return jnp.asarray(self.u0, dtype)
+        if self.exact is not None:
+            X, Y, Z = self.mesh(dtype)
+            u = self.exact(X, Y, Z, jnp.asarray(0.0, dtype)).astype(dtype)
+            return jnp.where(st3.logical_mask3d(self.grid), u, 0.0)
+        return jnp.zeros(self.grid.shape_padded, dtype)
+
+    def error_norms(self, u, t: float) -> Dict[str, float]:
+        g = self.grid
+        X, Y, Z = self.mesh()
+        mask = st3.logical_mask3d(g)
+        ue = self.exact(X, Y, Z, jnp.asarray(t, jnp.float64))
+        diff = jnp.where(mask, u.astype(jnp.float64) - ue, 0.0)
+        return {
+            "l2": float(jnp.sqrt(g.hx * g.hy * g.hz * jnp.sum(diff * diff))),
+            "linf": float(jnp.max(jnp.abs(diff))),
+        }
+
+
+def shift_hierarchy3d(levels, lam):
+    out = []
+    for lev in levels:
+        st = lev.stencil
+        lam_t = jnp.asarray(lam, lev.dtype)
+        out.append(mg3.Level3D(
+            stencil=st3.Stencil3D(c=st.c + lam_t, w=st.w, e=st.e, s=st.s,
+                                  n=st.n, b=st.b, t=st.t),
+            grid=lev.grid, dtype=lev.dtype,
+        ))
+    return tuple(out)
+
+
+def solve_heat3d(
+    problem: HeatProblem3D,
+    t_final: float,
+    dt: float,
+    cfg: HeatConfig = HeatConfig(),
+) -> Dict[str, Any]:
+    """Fixed-dt integration under one lax.scan (theta schemes + explicit)."""
+    dtype = jnp.dtype(cfg.dtype)
+    grid = problem.grid
+    alpha = problem.alpha
+    levels0 = mg3.build_hierarchy3d(grid, a=problem.a, lam=0.0,
+                                    dtype=dtype, cfg=cfg.mg)
+    lev0 = levels0[0]
+    unknown = lev0.unknown
+    X, Y, Z = problem.mesh(dtype)
+    st_sp = lev0.stencil
+    fixed = st3.logical_mask3d(grid) & ~unknown
+
+    def source(t):
+        if problem.q is None:
+            return jnp.zeros(grid.shape_padded, dtype)
+        return problem.q(X, Y, Z, t).astype(dtype)
+
+    def install_bc(u, t):
+        if problem.exact is None:
+            return u
+        return jnp.where(fixed, problem.exact(X, Y, Z, t).astype(dtype), u)
+
+    n_steps = max(1, int(round(t_final / dt)))
+    dt_val = t_final / n_steps
+
+    if cfg.scheme == "explicit":
+        limit = 1.0 / (2 * alpha * (1 / grid.hx**2 + 1 / grid.hy**2
+                                    + 1 / grid.hz**2))
+        if dt_val > limit * (1 + 1e-12):
+            raise ValueError(f"explicit dt={dt_val:g} exceeds limit {limit:g}")
+
+        def step(u, t, dt_):
+            lap = -st3.apply(st_sp, u)
+            rhs = (alpha * lap + source(t)).astype(dtype)
+            u_new = jnp.where(unknown, u + dt_.astype(dtype) * rhs, u)
+            return install_bc(u_new, t + dt_)
+
+    else:
+        th = cfg.effective_theta
+
+        def step(u, t, dt_):
+            tn1 = t + dt_
+            dtc = dt_.astype(dtype)
+            lam = 1.0 / (alpha * th * dtc)
+            levels = shift_hierarchy3d(levels0, lam)
+            F = u * lam + (th * source(tn1) + (1 - th) * source(t)) / (alpha * th)
+            if th < 1.0:
+                F = F - (1.0 - th) / th * st3.apply(st_sp, u)
+            F = jnp.where(unknown, F, jnp.zeros((), dtype))
+            u_new = install_bc(u, tn1)
+            for _ in range(cfg.cycles_per_step):
+                u_new = mg3.mg_cycle3d(levels, u_new, F, cfg.mg)
+            return u_new
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(u0, dt_, n: int):
+        def body(carry, _):
+            u, t = carry
+            u = step(u, t, dt_)
+            return (u, t + dt_), None
+
+        (u, t), _ = jax.lax.scan(body, (u0, jnp.asarray(0.0, jnp.float64)),
+                                 None, length=n)
+        return u, t
+
+    u0 = problem.initial_state(dtype)
+    u, t = run(u0, jnp.asarray(dt_val, jnp.float64), n_steps)
+    out = {"u": u, "t": float(t), "steps": n_steps}
+    if problem.exact is not None:
+        out["errors"] = problem.error_norms(u, float(t))
+    return out
+
+
+def pure_diffusion3d(n: int, alpha: float = 1.0) -> HeatProblem3D:
+    """u = sin(pi x) sin(pi y) sin(pi z) e^{-3 pi^2 alpha t}, q = 0."""
+    PI = np.pi
+
+    def exact(X, Y, Z, t):
+        return (jnp.sin(PI * X) * jnp.sin(PI * Y) * jnp.sin(PI * Z)
+                * jnp.exp(-3 * PI**2 * alpha * t))
+
+    return HeatProblem3D("heat3d_pure_diffusion", Grid3D(n, n, n),
+                         alpha=alpha, exact=exact)

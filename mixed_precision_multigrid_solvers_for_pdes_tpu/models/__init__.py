@@ -1,4 +1,5 @@
-from . import problems  # noqa: F401
+from . import problems, problems3d  # noqa: F401
+from .problems3d import CATALOGUE3D, Problem3D  # noqa: F401
 from .problems import (  # noqa: F401
     CATALOGUE,
     Problem,

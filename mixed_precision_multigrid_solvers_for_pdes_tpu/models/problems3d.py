@@ -1,0 +1,137 @@
+"""3D MMS problems — solved for real (the reference defined 3D MMS problems,
+reference validation/mms_validation.py:183-217, but had no 3D solver)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid3d import Grid3D
+from ..ops import stencil3d as st3
+
+PI = np.pi
+
+
+def eval_padded3(grid: Grid3D, fn: Callable, dtype=np.float64) -> np.ndarray:
+    X, Y, Z = grid.coordinates(padded=True)
+    vals = np.asarray(fn(X, Y, Z), dtype=dtype)
+    vals = np.broadcast_to(vals, X.shape).copy()
+    vals[grid.nx:, :, :] = 0.0
+    vals[:, grid.ny:, :] = 0.0
+    vals[:, :, grid.nz:] = 0.0
+    return vals
+
+
+@dataclasses.dataclass
+class Problem3D:
+    name: str
+    grid: Grid3D
+    f: Any = None
+    a: Any = None
+    lam: Any = 0.0
+    exact: Any = None
+    dirichlet_values: Any = None
+
+    def rhs(self, dtype=jnp.float32):
+        return jnp.asarray(self.f, dtype)
+
+    def initial_guess(self, dtype=jnp.float32):
+        u0 = jnp.zeros(self.grid.shape_padded, dtype)
+        if self.dirichlet_values is not None:
+            g = self.grid
+            fixed = st3.logical_mask3d(g) & ~st3.unknown_mask3d(g)
+            u0 = jnp.where(fixed, jnp.asarray(self.dirichlet_values, dtype), u0)
+        return u0
+
+    def error_norms(self, u) -> Dict[str, float]:
+        g = self.grid
+        mask = st3.logical_mask3d(g)
+        diff = jnp.where(mask, u.astype(jnp.float64) - jnp.asarray(self.exact), 0.0)
+        return {
+            "l2": float(jnp.sqrt(g.hx * g.hy * g.hz * jnp.sum(diff * diff))),
+            "linf": float(jnp.max(jnp.abs(diff))),
+        }
+
+
+def from_callables3(name, grid, *, u_exact=None, f, a=None, lam=0.0) -> Problem3D:
+    exact = eval_padded3(grid, u_exact) if u_exact is not None else None
+    return Problem3D(
+        name=name, grid=grid,
+        f=eval_padded3(grid, f),
+        a=eval_padded3(grid, a) if a is not None else None,
+        lam=lam, exact=exact,
+        dirichlet_values=exact,
+    )
+
+
+def poisson3d_mms_sinsinsin(n: int) -> Problem3D:
+    """u = sin(pi x) sin(pi y) sin(pi z), f = 3 pi^2 u
+    (reference mms_validation.py:183-199 'poisson3d_trig')."""
+    grid = Grid3D(n, n, n)
+    return from_callables3(
+        "poisson3d_sinsinsin", grid,
+        u_exact=lambda X, Y, Z: np.sin(PI * X) * np.sin(PI * Y) * np.sin(PI * Z),
+        f=lambda X, Y, Z: 3 * PI**2 * np.sin(PI * X) * np.sin(PI * Y) * np.sin(PI * Z),
+    )
+
+
+def poisson3d_mms_polynomial(n: int) -> Problem3D:
+    """u = x(1-x)y(1-y)z(1-z), f = 2[y(1-y)z(1-z)+x(1-x)z(1-z)+x(1-x)y(1-y)]
+    (reference mms_validation.py:201-217 'poisson3d_poly')."""
+    grid = Grid3D(n, n, n)
+
+    def u(X, Y, Z):
+        return X * (1 - X) * Y * (1 - Y) * Z * (1 - Z)
+
+    def f(X, Y, Z):
+        return 2 * (
+            Y * (1 - Y) * Z * (1 - Z)
+            + X * (1 - X) * Z * (1 - Z)
+            + X * (1 - X) * Y * (1 - Y)
+        )
+
+    return from_callables3("poisson3d_polynomial", grid, u_exact=u, f=f)
+
+
+def helmholtz3d_mms(n: int, k: float = 2.0) -> Problem3D:
+    """-(lap u) - k^2 u = f with u = sin(pi x) sin(pi y) sin(pi z)."""
+    grid = Grid3D(n, n, n)
+    return from_callables3(
+        f"helmholtz3d_k{k}", grid,
+        u_exact=lambda X, Y, Z: np.sin(PI * X) * np.sin(PI * Y) * np.sin(PI * Z),
+        f=lambda X, Y, Z: (3 * PI**2 - k**2)
+        * np.sin(PI * X) * np.sin(PI * Y) * np.sin(PI * Z),
+        lam=-float(k) ** 2,
+    )
+
+
+def varcoef3d_mms(n: int) -> Problem3D:
+    """-div(a grad u) = f with a = 1 + x + y + z, u = sin sin sin:
+    f = a * 3 pi^2 u - grad a . grad u, grad a = (1,1,1)."""
+    grid = Grid3D(n, n, n)
+
+    def f(X, Y, Z):
+        a = 1.0 + X + Y + Z
+        sx, cx = np.sin(PI * X), np.cos(PI * X)
+        sy, cy = np.sin(PI * Y), np.cos(PI * Y)
+        sz, cz = np.sin(PI * Z), np.cos(PI * Z)
+        grad_dot = PI * (cx * sy * sz + sx * cy * sz + sx * sy * cz)
+        return a * 3 * PI**2 * sx * sy * sz - grad_dot
+
+    return from_callables3(
+        "varcoef3d", grid,
+        u_exact=lambda X, Y, Z: np.sin(PI * X) * np.sin(PI * Y) * np.sin(PI * Z),
+        f=f,
+        a=lambda X, Y, Z: 1.0 + X + Y + Z,
+    )
+
+
+CATALOGUE3D = {
+    "trigonometric": poisson3d_mms_sinsinsin,
+    "polynomial": poisson3d_mms_polynomial,
+    "helmholtz": helmholtz3d_mms,
+    "variable_coefficient": varcoef3d_mms,
+}

@@ -1,0 +1,137 @@
+"""Heat-equation time stepping tests (reference test strategy: MMS ladders,
+temporal order checks — reference validation/mms_validation.py:471-553)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+    heat_problems as HP,
+)
+from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
+    HeatConfig,
+    solve_heat,
+    stability_limit_dt,
+)
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _solve(problem, scheme, t_final, dt, **kw):
+    cfg = HeatConfig(scheme=scheme, cycles_per_step=2, dtype="float64", **kw)
+    return solve_heat(problem, t_final=t_final, dt=dt, cfg=cfg)
+
+
+class TestSchemes:
+    def test_crank_nicolson_accuracy(self):
+        res = _solve(HP.pure_diffusion(33), "crank_nicolson", 0.05, 0.005)
+        assert res.errors["l2"] < 5e-4
+
+    def test_backward_euler_first_order_in_dt(self):
+        """Halving dt halves the BE error (spatial error subdominant here)."""
+        e = [
+            _solve(HP.pure_diffusion(65), "backward_euler", 0.04, dt).errors["l2"]
+            for dt in (0.004, 0.002)
+        ]
+        rate = np.log2(e[0] / e[1])
+        assert 0.7 < rate < 1.3, (e, rate)
+
+    def test_crank_nicolson_second_order_in_dt(self):
+        # spatially-exact problem: the measured error is purely temporal
+        e = [
+            _solve(HP.spatially_exact_oscillating(33), "crank_nicolson",
+                   0.1, dt).errors["l2"]
+            for dt in (0.01, 0.005)
+        ]
+        rate = np.log2(e[0] / e[1])
+        assert 1.6 < rate < 2.4, (e, rate)
+
+    def test_bdf2_second_order_in_dt(self):
+        e = [
+            _solve(HP.spatially_exact_oscillating(33), "bdf2", 0.1, dt
+                   ).errors["l2"]
+            for dt in (0.01, 0.005)
+        ]
+        rate = np.log2(e[0] / e[1])
+        assert 1.5 < rate < 2.6, (e, rate)
+
+    def test_theta_matches_limits(self):
+        prob = HP.pure_diffusion(33)
+        be = _solve(prob, "backward_euler", 0.02, 0.004).errors["l2"]
+        th1 = solve_heat(
+            prob, t_final=0.02, dt=0.004,
+            cfg=HeatConfig(scheme="theta", theta=1.0, cycles_per_step=2,
+                           dtype="float64"),
+        ).errors["l2"]
+        assert np.isclose(be, th1, rtol=1e-10)
+
+    def test_explicit_stability_guard(self):
+        prob = HP.pure_diffusion(33)
+        limit = stability_limit_dt(prob.grid, prob.alpha)
+        with pytest.raises(ValueError):
+            solve_heat(prob, t_final=0.1, dt=10 * limit,
+                       cfg=HeatConfig(scheme="explicit"))
+
+    def test_explicit_matches_exact(self):
+        res = _solve(HP.pure_diffusion(33), "explicit", 0.01, None)
+        assert res.errors["l2"] < 5e-4
+
+
+class TestSourcesAndBCs:
+    def test_manufactured_source(self):
+        """Source-balanced steady state stays steady."""
+        res = _solve(HP.heat_source(33), "crank_nicolson", 0.1, 0.01)
+        assert res.errors["l2"] < 2e-3
+
+    def test_time_dependent_dirichlet(self):
+        res = _solve(HP.time_dependent_bc(33), "crank_nicolson", 0.1, 0.01)
+        # u is quadratic in space, linear in t: CN + exact BCs -> ~exact
+        assert res.errors["l2"] < 1e-6
+
+    def test_polynomial_time_bdf2_near_exact(self):
+        """BDF2 integrates quadratic-in-time exactly; u quadratic in space."""
+        res = _solve(HP.polynomial_time(33), "bdf2", 0.1, 0.01)
+        assert res.errors["l2"] < 1e-6
+
+    def test_neumann_heat(self):
+        res = _solve(HP.neumann_heat(33), "crank_nicolson", 0.05, 0.005)
+        assert res.errors["l2"] < 5e-3
+
+
+class TestAdaptiveDt:
+    def test_adaptive_reaches_tolerance(self):
+        prob = HP.oscillating(33)
+        cfg = HeatConfig(
+            scheme="crank_nicolson", cycles_per_step=2, dtype="float64",
+            adaptive_dt=True, dt_tol=1e-5,
+        )
+        res = solve_heat(prob, t_final=0.1, dt=0.02, cfg=cfg)
+        assert res.t == pytest.approx(0.1, abs=1e-10)
+        assert res.steps >= 5
+        assert res.errors["l2"] < 1e-3
+        assert res.dt_history.size == res.steps
+
+
+class TestSpatialConvergence:
+    def test_second_order_in_h(self):
+        """O(h^2) once dt error is subdominant (CN, small dt)."""
+        errs = []
+        for n in (17, 33, 65):
+            res = _solve(HP.pure_diffusion(n), "crank_nicolson", 0.02, 0.001)
+            errs.append(res.errors["l2"])
+        r1 = np.log2(errs[0] / errs[1])
+        r2 = np.log2(errs[1] / errs[2])
+        assert 1.7 < r1 < 2.3 and 1.7 < r2 < 2.3, (errs, r1, r2)
+
+
+class TestSaveHistory:
+    def test_save_every(self):
+        prob = HP.pure_diffusion(17)
+        cfg = HeatConfig(scheme="backward_euler", cycles_per_step=2,
+                         dtype="float64", save_every=2)
+        res = solve_heat(prob, t_final=0.02, dt=0.002, cfg=cfg)
+        assert res.saved is not None and len(res.saved) == 5
+        t_last, u_last = res.saved[-1]
+        assert t_last == pytest.approx(0.02)
+        np.testing.assert_allclose(u_last, np.asarray(res.u), rtol=1e-12)

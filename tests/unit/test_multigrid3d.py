@@ -1,0 +1,146 @@
+"""3D multigrid tests — capability the reference stubbed
+(reference applications/poisson_solver.py:483-557)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid3d import Grid3D
+from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems3d as P3
+from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import (
+    stencil3d as st3,
+    transfer3d,
+)
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import multigrid3d as mg3
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+    MultigridConfig,
+)
+
+jax.config.update("jax_enable_x64", True)
+
+CFG = MultigridConfig(smoother="rbgs", omega=1.0, tol=1e-10)
+
+
+class TestGrid3D:
+    def test_spacing_and_shapes(self):
+        g = Grid3D(17, 33, 65)
+        assert g.hx == pytest.approx(1 / 16)
+        assert g.hz == pytest.approx(1 / 64)
+        px, py, pz = g.shape_padded
+        assert px == 17 and py % 16 == 0 and pz % 128 == 0
+
+    def test_coarsen_refine_roundtrip(self):
+        g = Grid3D(17, 17, 17)
+        assert g.coarsen().shape == (9, 9, 9)
+        assert g.coarsen().refine().shape == g.shape
+
+    def test_pad_unpad(self):
+        g = Grid3D(5, 5, 5)
+        f = np.arange(125, dtype=np.float64).reshape(5, 5, 5)
+        np.testing.assert_array_equal(g.unpad_field(g.pad_field(f)), f)
+
+
+class TestStencil3D:
+    def test_exact_on_quadratic(self):
+        """A(x^2+y^2+z^2) = -6 exactly for the 7-point stencil."""
+        g = Grid3D(9, 9, 9)
+        st = st3.make_stencil3d(g, dtype=jnp.float64)
+        X, Y, Z = g.coordinates(padded=True)
+        u = jnp.asarray(X**2 + Y**2 + Z**2)
+        Au = st3.apply(st, u)
+        unknown = st3.unknown_mask3d(g)
+        vals = np.asarray(jnp.where(unknown, Au, -6.0))
+        np.testing.assert_allclose(vals, -6.0, atol=1e-9)
+
+    def test_helmholtz_shift(self):
+        g = Grid3D(9, 9, 9)
+        st0 = st3.make_stencil3d(g, dtype=jnp.float64)
+        st1 = st3.make_stencil3d(g, lam=5.0, dtype=jnp.float64)
+        assert float(st1.c - st0.c) == pytest.approx(5.0)
+
+
+class TestTransfer3D:
+    def test_restriction_preserves_constants(self):
+        gf = Grid3D(17, 17, 17)
+        gc = gf.coarsen()
+        ones = jnp.ones(gf.shape_padded, jnp.float64)
+        out = transfer3d.restrict3d(ones, gc.nx, gc.ny, gc.nz, gc.shape_padded)
+        interior = np.asarray(out)[1: gc.nx - 1, 1: gc.ny - 1, 1: gc.nz - 1]
+        np.testing.assert_allclose(interior, 1.0, atol=1e-12)
+
+    def test_prolongation_exact_on_trilinear(self):
+        """Trilinear interpolation reproduces trilinear functions exactly."""
+        gc = Grid3D(9, 9, 9)
+        gf = gc.refine()
+        Xc, Yc, Zc = gc.coordinates(padded=True)
+        u_c = jnp.asarray(2 * Xc + 3 * Yc - Zc + Xc * Yc * 0)
+        out = transfer3d.prolong3d(u_c, gc.nx, gc.ny, gc.nz,
+                                   gf.nx, gf.ny, gf.nz, gf.shape_padded)
+        Xf, Yf, Zf = gf.coordinates()
+        expect = 2 * Xf + 3 * Yf - Zf
+        got = np.asarray(out)[: gf.nx, : gf.ny, : gf.nz]
+        np.testing.assert_allclose(got, expect, atol=1e-12)
+
+
+class TestSolve3D:
+    def test_poisson3d_converges_h_independent(self):
+        iters = {}
+        for n in (17, 33):
+            prob = P3.poisson3d_mms_sinsinsin(n)
+            levels = mg3.build_hierarchy3d(prob.grid, dtype="float64", cfg=CFG)
+            u, info = mg3.mg_solve3d(
+                levels, prob.rhs(jnp.float64), prob.initial_guess(jnp.float64),
+                CFG)
+            assert info["converged"]
+            assert info["convergence_factor"] < 0.2
+            iters[n] = info["iterations"]
+        assert abs(iters[17] - iters[33]) <= 2
+
+    def test_poisson3d_second_order(self):
+        errs = []
+        for n in (9, 17, 33):
+            prob = P3.poisson3d_mms_sinsinsin(n)
+            levels = mg3.build_hierarchy3d(prob.grid, dtype="float64", cfg=CFG)
+            u, info = mg3.mg_solve3d(
+                levels, prob.rhs(jnp.float64), prob.initial_guess(jnp.float64),
+                CFG)
+            errs.append(prob.error_norms(u)["l2"])
+        rates = np.log2(np.array(errs[:-1]) / np.array(errs[1:]))
+        assert np.all(rates > 1.7) and np.all(rates < 2.3), (errs, rates)
+
+    def test_polynomial_exact(self):
+        """Tri-quadratic u is NOT exactly discretized in 3D? It is:
+        4th derivatives vanish -> machine-level error."""
+        prob = P3.poisson3d_mms_polynomial(17)
+        levels = mg3.build_hierarchy3d(prob.grid, dtype="float64", cfg=CFG)
+        u, info = mg3.mg_solve3d(
+            levels, prob.rhs(jnp.float64), prob.initial_guess(jnp.float64), CFG)
+        assert prob.error_norms(u)["l2"] < 1e-9
+
+    def test_helmholtz3d(self):
+        prob = P3.helmholtz3d_mms(17)
+        levels = mg3.build_hierarchy3d(prob.grid, lam=prob.lam,
+                                       dtype="float64", cfg=CFG)
+        u, info = mg3.mg_solve3d(
+            levels, prob.rhs(jnp.float64), prob.initial_guess(jnp.float64), CFG)
+        assert info["converged"]
+        assert prob.error_norms(u)["l2"] < 5e-3
+
+    def test_varcoef3d(self):
+        prob = P3.varcoef3d_mms(17)
+        a = jnp.asarray(prob.a)
+        levels = mg3.build_hierarchy3d(prob.grid, a=a, dtype="float64", cfg=CFG)
+        u, info = mg3.mg_solve3d(
+            levels, prob.rhs(jnp.float64), prob.initial_guess(jnp.float64), CFG)
+        assert info["converged"]
+        assert prob.error_norms(u)["l2"] < 5e-3
+
+    def test_w_cycle3d(self):
+        prob = P3.poisson3d_mms_sinsinsin(17)
+        cfg = CFG.replace(cycle="W")
+        levels = mg3.build_hierarchy3d(prob.grid, dtype="float64", cfg=cfg)
+        u, info = mg3.mg_solve3d(
+            levels, prob.rhs(jnp.float64), prob.initial_guess(jnp.float64), cfg)
+        assert info["converged"]
+        assert info["convergence_factor"] < 0.15
