@@ -1,0 +1,38 @@
+"""Multigrid as a preconditioner for outer Krylov iterations.
+
+Counterpart of reference preconditioning/multigrid_preconditioner.py:20
+(MultigridPreconditioner wrapping MultigridSolver for CG/GMRES). One-or-few
+V-cycles with zero initial guess approximate A^{-1}; with a symmetric cycle
+(equal pre/post sweeps, symmetric smoother) the operator is SPD, so CG is
+safe. The cycle traces straight into the Krylov while_loop — no host
+round-trips between outer iterations (the reference re-entered Python per
+application).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+
+from ..solvers import multigrid as mg_mod
+from ..solvers.multigrid import Level, MultigridConfig
+
+
+def multigrid_preconditioner(
+    levels: Tuple[Level, ...],
+    cfg: MultigridConfig = MultigridConfig(smoother="rbgs", omega=1.0),
+    *,
+    cycles: int = 1,
+) -> Callable:
+    """z = (approx A^{-1}) r via ``cycles`` V/W-cycles from a zero guess."""
+    lev0 = levels[0]
+
+    def apply(r):
+        z = jnp.zeros(lev0.grid.shape_padded, r.dtype)
+        rl = r.astype(lev0.dtype)
+        for _ in range(cycles):
+            z = mg_mod.mg_cycle(levels, z, rl, cfg)
+        return z.astype(r.dtype)
+
+    return apply

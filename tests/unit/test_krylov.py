@@ -1,0 +1,150 @@
+"""Krylov + preconditioning tests (reference tests/unit/test_preconditioning.py
+semantics: setup/apply, effectiveness by iteration-count reduction)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+from mixed_precision_multigrid_solvers_for_pdes_tpu import preconditioning as pc
+from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import krylov
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+    MultigridConfig,
+)
+
+jax.config.update("jax_enable_x64", True)
+
+CFG = MultigridConfig(smoother="rbgs", omega=1.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # NOTE: sin(pi x) sin(pi y) is an eigenvector of the discrete Laplacian —
+    # CG would converge in exactly 1 iteration and preconditioner comparisons
+    # would be meaningless. The exponential problem has a broad spectrum.
+    prob = P.poisson_mms_exponential(65)
+    levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64", cfg=CFG)
+    lev0 = levels[0]
+    mv = krylov.stencil_matvec(lev0.stencil, lev0.unknown)
+    f = jnp.where(lev0.unknown, prob.rhs(jnp.float64), 0.0)
+    return prob, levels, lev0, mv, f
+
+
+def _check_solution(prob, u, tol=5e-3):
+    errs = prob.error_norms(u)
+    assert errs["l2"] < tol, errs
+
+
+class TestCG:
+    def test_plain_cg_converges(self, setup):
+        prob, levels, lev0, mv, f = setup
+        u, info = krylov.pcg(mv, f, tol=1e-10, maxiter=500)
+        assert info["converged"], info
+        _check_solution(prob, u)
+
+    def test_jacobi_preconditioner(self, setup):
+        prob, levels, lev0, mv, f = setup
+        M = pc.diagonal(lev0.stencil, lev0.unknown)
+        u, info = krylov.pcg(mv, f, precond=M, tol=1e-10)
+        assert info["converged"]
+        _check_solution(prob, u)
+
+    def test_chebyshev_beats_jacobi(self, setup):
+        prob, levels, lev0, mv, f = setup
+        Mj = pc.diagonal(lev0.stencil, lev0.unknown)
+        Mc = pc.chebyshev(lev0.stencil, lev0.unknown, degree=4, grid=lev0.grid)
+        _, ij = krylov.pcg(mv, f, precond=Mj, tol=1e-10)
+        _, ic = krylov.pcg(mv, f, precond=Mc, tol=1e-10)
+        assert ic["converged"] and ij["converged"]
+        assert ic["iterations"] < ij["iterations"]
+
+    def test_mg_preconditioner_few_iterations(self, setup):
+        prob, levels, lev0, mv, f = setup
+        M = pc.multigrid_preconditioner(levels, CFG)
+        u, info = krylov.pcg(mv, f, precond=M, tol=1e-10)
+        assert info["converged"]
+        assert info["iterations"] <= 12, info["iterations"]
+        _check_solution(prob, u)
+
+    def test_line_preconditioner(self, setup):
+        prob, levels, lev0, mv, f = setup
+        M = pc.block_line(lev0.stencil, lev0.unknown, axis=0)
+        _, i_line = krylov.pcg(mv, f, precond=M, tol=1e-10)
+        _, i_none = krylov.pcg(mv, f, tol=1e-10)
+        assert i_line["converged"]
+        assert i_line["iterations"] < i_none["iterations"]
+
+
+class TestBiCGStab:
+    def test_converges_on_spd(self, setup):
+        prob, levels, lev0, mv, f = setup
+        M = pc.diagonal(lev0.stencil, lev0.unknown)
+        u, info = krylov.bicgstab(mv, f, precond=M, tol=1e-10)
+        assert info["converged"]
+        _check_solution(prob, u)
+
+
+class TestCombinators:
+    def test_identity_and_composite(self, setup):
+        prob, levels, lev0, mv, f = setup
+        Mi = pc.identity()
+        np.testing.assert_array_equal(np.asarray(Mi(f)), np.asarray(f))
+        Mc = pc.composite(pc.diagonal(lev0.stencil, lev0.unknown), Mi)
+        u, info = krylov.pcg(mv, f, precond=Mc, tol=1e-8)
+        assert info["converged"]
+
+    def test_adaptive_switches_on_stall(self):
+        a = pc.AdaptivePreconditioner([pc.identity(), pc.identity()], window=3)
+        # stalling history: ratios ~ 1
+        assert a.observe([1.0, 0.99, 0.985, 0.984, 0.9835]) is True
+        assert a.active == 1
+
+
+class TestILU:
+    def test_ilu_reduces_host_cg_iterations(self, setup):
+        """ILU(0)-PCG needs substantially fewer iterations than plain CG —
+        the effectiveness criterion the reference's preconditioner study used
+        (reference tests/unit/test_preconditioning.py)."""
+        import scipy.sparse.linalg as spla
+
+        prob, levels, lev0, mv, f = setup
+        ilu = pc.ILUPreconditioner(lev0.grid, lev0.stencil, lev0.unknown)
+        un = np.asarray(lev0.unknown)
+        ii, jj = np.nonzero(un)
+        nn = ii.size
+        pad_shape = lev0.grid.shape_padded
+
+        def pack(fun):
+            def mvec(xv):
+                xp = np.zeros(pad_shape)
+                xp[ii, jj] = xv
+                return np.asarray(fun(jnp.asarray(xp)))[ii, jj]
+
+            return mvec
+
+        A_op = spla.LinearOperator((nn, nn), matvec=pack(mv))
+        M_op = spla.LinearOperator((nn, nn), matvec=pack(ilu))
+        b = np.asarray(f)[ii, jj]
+
+        def count(M=None):
+            k = [0]
+            _, info = spla.cg(A_op, b, rtol=1e-8, maxiter=2000, M=M,
+                              callback=lambda _: k.__setitem__(0, k[0] + 1))
+            assert info == 0
+            return k[0]
+
+        plain, with_ilu = count(), count(M_op)
+        assert with_ilu < 0.6 * plain, (plain, with_ilu)
+        mem = ilu.memory_usage()
+        assert mem["fill_ratio"] == 1.0
+
+
+class TestGMRES:
+    def test_gmres_converges(self, setup):
+        prob, levels, lev0, mv, f = setup
+        M = pc.multigrid_preconditioner(levels, CFG)
+        u, info = krylov.gmres(mv, f, precond=M, tol=1e-8, restart=20)
+        assert info["converged"], info
+        _check_solution(prob, u)
