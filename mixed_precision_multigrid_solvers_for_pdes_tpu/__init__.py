@@ -31,6 +31,7 @@ _jax.config.update("jax_enable_x64", True)
 __version__ = "0.1.0"
 
 from . import core, ops, solvers, models, parallel, utils  # noqa: E402,F401
+from . import applications, preconditioning  # noqa: E402,F401
 from .core.grid import Grid  # noqa: E402,F401
 from .core.precision import Precision, PrecisionPolicy  # noqa: E402,F401
 from .solvers.multigrid import (  # noqa: E402,F401

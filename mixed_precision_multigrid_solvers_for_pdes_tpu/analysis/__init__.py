@@ -1,0 +1,7 @@
+"""Post-hoc and live convergence analysis."""
+
+from .convergence import (  # noqa: F401
+    ConvergenceAnalyzer,
+    ConvergenceMonitor,
+    ConvergenceReport,
+)

@@ -65,8 +65,10 @@ def grid_sharding(mesh: Mesh, grid: Grid, min_points_per_device: int = 16):
     px, py = grid.shape_padded
     mx = mesh.shape["x"]
     my = mesh.shape["y"]
-    spec_x = "x" if px // mx >= min_points_per_device and px % mx == 0 else None
-    spec_y = "y" if py // my >= min_points_per_device and py % my == 0 else None
+    # gate on LOGICAL extent: sharding a level whose logical points fit on one
+    # device just spreads padding around (and the blocks must tile evenly)
+    spec_x = "x" if grid.nx // mx >= min_points_per_device and px % mx == 0 else None
+    spec_y = "y" if grid.ny // my >= min_points_per_device and py % my == 0 else None
     return NamedSharding(mesh, P(spec_x, spec_y))
 
 

@@ -7,7 +7,9 @@ reference tests/unit/test_gpu_acceleration.py:476-517 — we can).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env points at a TPU (JAX_PLATFORMS=axon):
+# unit tests must see the 8-device virtual mesh; the real chip is for bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The environment's sitecustomize (axon TPU tunnel) forces
+# jax_platforms='axon,cpu' regardless of JAX_PLATFORMS; override it so the
+# suite really runs on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the solve graphs are compile-heavy on the CPU
 # backend; cache across test runs and xdist workers.

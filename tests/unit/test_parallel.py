@@ -1,0 +1,117 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8) — coverage the reference could not
+have without >=2 physical GPUs (reference test_gpu_acceleration.py:476-517)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+from mixed_precision_multigrid_solvers_for_pdes_tpu import parallel
+from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P
+from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import smooth as smooth_mod
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+    MultigridConfig,
+)
+
+CFG = MultigridConfig(smoother="rbgs", omega=1.0, backend="xla")
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device virtual mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return parallel.make_mesh(jax.devices()[:8])
+
+
+class TestMeshConstruction:
+    def test_mesh_shape_near_square(self):
+        assert parallel.choose_mesh_shape(8) in ((2, 4), (4, 2))
+        assert parallel.choose_mesh_shape(4) == (2, 2)
+        assert parallel.choose_mesh_shape(1) == (1, 1)
+
+    def test_grid_sharding_agglomerates_coarse(self, mesh):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid import Grid
+
+        fine = parallel.grid_sharding(mesh, Grid(129, 129))
+        coarse = parallel.grid_sharding(mesh, Grid(5, 5))
+        assert fine.spec != coarse.spec
+        assert coarse.spec == jax.sharding.PartitionSpec(None, None)
+
+
+class TestShardedSolve:
+    def test_matches_single_device(self, mesh):
+        """The sharded solve must produce the single-device solution."""
+        prob = P.poisson_mms_sinsin(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        f = prob.rhs(jnp.float64)
+        u_ref, info_ref = mg.mg_solve(levels, f, None, CFG)
+        u_sh, info_sh = parallel.sharded_solve(mesh, levels, f, cfg=CFG)
+        assert info_sh["converged"]
+        assert info_sh["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
+
+    def test_neumann_sharded(self, mesh):
+        prob = P.neumann_test_problem(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        u, info = parallel.sharded_solve(
+            mesh, levels, prob.rhs(jnp.float64),
+            prob.initial_guess(jnp.float64), cfg=CFG)
+        assert info["converged"]
+        assert prob.error_norms(u)["l2"] < 1e-3
+
+
+class TestExplicitHalo:
+    def test_shard_smooth_matches_xla(self, mesh):
+        """shard_map+ppermute smoothing == whole-array XLA smoothing, exactly."""
+        prob = P.poisson_mms_sinsin(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        lev = levels[0]
+        key = jax.random.PRNGKey(0)
+        u = jnp.where(lev.unknown,
+                      jax.random.normal(key, lev.grid.shape_padded,
+                                        jnp.float64), 0.0)
+        f = prob.rhs(jnp.float64)
+        for method in ("jacobi", "rbgs"):
+            ref = smooth_mod.smooth(lev.stencil, u, f, lev.unknown,
+                                    method=method, sweeps=3, omega=0.9)
+            got = parallel.shard_smooth(mesh, lev, u, f, method=method,
+                                        sweeps=3, omega=0.9)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=0, atol=1e-13, err_msg=method)
+
+    def test_global_residual_norm_matches(self, mesh):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import (
+            norms,
+            stencil as st_mod,
+        )
+
+        prob = P.poisson_mms_sinsin(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        lev = levels[0]
+        f = prob.rhs(jnp.float64)
+        u = jnp.zeros(lev.grid.shape_padded, jnp.float64)
+        ref = norms.scaled_l2(
+            st_mod.residual(lev.stencil, u, f, lev.unknown),
+            lev.grid.hx, lev.grid.hy)
+        got = parallel.global_residual_norm(mesh, lev, u, f)
+        assert float(got) == pytest.approx(float(ref), rel=1e-12)
+
+
+class TestDryrun:
+    def test_graft_entry_dryrun(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", "/root/repo/__graft_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(8)
