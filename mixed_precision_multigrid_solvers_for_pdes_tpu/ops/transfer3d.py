@@ -7,7 +7,14 @@ formulation that proved ~6x faster than stride-2 scatters in 2D.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+from .transfer import _conv_ok
+
+_k1 = np.array([1.0, 2.0, 1.0])
+_FW3 = np.einsum("i,j,k->ijk", _k1, _k1, _k1) / 64.0
 
 
 def _fine_window3(rf, ncx, ncy, ncz, d0, d1, d2):
@@ -26,13 +33,21 @@ def restrict3d(rf, ncx: int, ncy: int, ncz: int, pshape_coarse, *,
     if method == "injection":
         interior = _fine_window3(rf, ncx, ncy, ncz, 0, 0, 0)
     elif method == "full_weighting":
-        interior = None
-        for d0 in (-1, 0, 1):
-            for d1 in (-1, 0, 1):
-                for d2 in (-1, 0, 1):
-                    wgt = ((2 - abs(d0)) * (2 - abs(d1)) * (2 - abs(d2))) / 64.0
-                    term = wgt * _fine_window3(rf, ncx, ncy, ncz, d0, d1, d2)
-                    interior = term if interior is None else interior + term
+        if _conv_ok(dtype):
+            # stride-2 VALID conv (see transfer._restrict_interior_conv for
+            # why: stride-2 slicing gathers are pathological on TPU)
+            x = rf[None, None, 1 : 2 * (ncx - 1), 1 : 2 * (ncy - 1),
+                   1 : 2 * (ncz - 1)].astype(dtype)
+            k = jnp.asarray(_FW3, dtype).reshape(1, 1, 3, 3, 3)
+            interior = jax.lax.conv_general_dilated(x, k, (2, 2, 2), "VALID")[0, 0]
+        else:
+            interior = None
+            for d0 in (-1, 0, 1):
+                for d1 in (-1, 0, 1):
+                    for d2 in (-1, 0, 1):
+                        wgt = ((2 - abs(d0)) * (2 - abs(d1)) * (2 - abs(d2))) / 64.0
+                        term = wgt * _fine_window3(rf, ncx, ncy, ncz, d0, d1, d2)
+                        interior = term if interior is None else interior + term
     else:
         raise ValueError(f"unknown restriction {method!r}")
     out = jnp.zeros(pshape_coarse, dtype)
