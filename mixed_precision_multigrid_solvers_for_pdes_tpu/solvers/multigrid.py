@@ -279,13 +279,28 @@ def _solve_jit(levels, f, u0, cfg: MultigridConfig, use_fmg: bool,
     u, k, rnorm, hist = jax.lax.while_loop(
         cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist)
     )
-    return u, {
-        "iterations": k,
-        "residual_norm": rnorm,
-        "initial_residual_norm": rnorm0,
-        "rhs_norm": fnorm,
+    # pack every statistic into ONE f64 buffer: each device->host readback
+    # costs a full tunnel round-trip (~25 ms measured), so the host wrapper
+    # must fetch exactly one array.
+    stats = jnp.stack([
+        k.astype(jnp.float64), rnorm, rnorm0, fnorm,
+        (rnorm <= tol_eff).astype(jnp.float64),
+    ])
+    return u, jnp.concatenate([stats, hist])
+
+
+def _unpack_info(packed: np.ndarray) -> Dict[str, Any]:
+    """Host-side decode of the packed stats buffer (single readback)."""
+    it = int(packed[0])
+    hist = packed[5:][: it + 1]
+    return {
+        "iterations": it,
+        "residual_norm": float(packed[1]),
+        "initial_residual_norm": float(packed[2]),
+        "rhs_norm": float(packed[3]),
+        "converged": bool(packed[4]),
         "history": hist,
-        "converged": rnorm <= tol_eff,
+        "convergence_factor": convergence_factor(hist),
     }
 
 
@@ -317,16 +332,5 @@ def mg_solve(
     """
     if u0 is None:
         u0 = jnp.zeros(levels[0].grid.shape_padded, levels[0].dtype)
-    u, info = _solve_jit(levels, f, u0, cfg, use_fmg, constrain)
-    it = int(info["iterations"])
-    hist = np.asarray(info["history"])[: it + 1]
-    out = {
-        "iterations": it,
-        "residual_norm": float(info["residual_norm"]),
-        "initial_residual_norm": float(info["initial_residual_norm"]),
-        "rhs_norm": float(info["rhs_norm"]),
-        "history": hist,
-        "converged": bool(info["converged"]),
-        "convergence_factor": convergence_factor(hist),
-    }
-    return u, out
+    u, packed = _solve_jit(levels, f, u0, cfg, use_fmg, constrain)
+    return u, _unpack_info(np.asarray(packed))

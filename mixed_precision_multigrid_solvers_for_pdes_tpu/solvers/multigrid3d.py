@@ -184,8 +184,12 @@ def _solve3_jit(levels, f, u0, cfg: MultigridConfig):
     u, k, rnorm, hist = jax.lax.while_loop(
         cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist)
     )
-    return u, {"iterations": k, "residual_norm": rnorm, "history": hist,
-               "rhs_norm": fnorm, "converged": rnorm <= tol_eff}
+    # single packed stats buffer -> single host readback (see multigrid.py)
+    stats = jnp.stack([
+        k.astype(jnp.float64), rnorm, rnorm0, fnorm,
+        (rnorm <= tol_eff).astype(jnp.float64),
+    ])
+    return u, jnp.concatenate([stats, hist])
 
 
 def mg_solve3d(
@@ -196,14 +200,7 @@ def mg_solve3d(
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     if u0 is None:
         u0 = jnp.zeros(levels[0].grid.shape_padded, levels[0].dtype)
-    u, info = _solve3_jit(levels, f, u0, cfg)
-    it = int(info["iterations"])
-    hist = np.asarray(info["history"])[: it + 1]
-    return u, {
-        "iterations": it,
-        "residual_norm": float(info["residual_norm"]),
-        "rhs_norm": float(info["rhs_norm"]),
-        "history": hist,
-        "converged": bool(info["converged"]),
-        "convergence_factor": convergence_factor(hist),
-    }
+    from .multigrid import _unpack_info
+
+    u, packed = _solve3_jit(levels, f, u0, cfg)
+    return u, _unpack_info(np.asarray(packed))

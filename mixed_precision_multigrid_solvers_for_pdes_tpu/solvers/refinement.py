@@ -76,14 +76,12 @@ def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
     u, k, rnorm, hist = jax.lax.while_loop(
         cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist)
     )
-    return u, {
-        "iterations": k,
-        "residual_norm": rnorm,
-        "initial_residual_norm": rnorm0,
-        "rhs_norm": fnorm,
-        "history": hist,
-        "converged": rnorm <= tol_eff,
-    }
+    # single packed stats buffer -> single host readback (see multigrid.py)
+    stats = jnp.stack([
+        k.astype(jnp.float64), rnorm, rnorm0, fnorm,
+        (rnorm <= tol_eff).astype(jnp.float64),
+    ])
+    return u, jnp.concatenate([stats, hist])
 
 
 def ir_solve(
@@ -104,19 +102,10 @@ def ir_solve(
     if u0 is None:
         u0 = jnp.zeros(lev0.grid.shape_padded, jnp.float64)
     st_hi = lev0.stencil.astype(jnp.float64)
-    u, info = _ir_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer)
-    it = int(info["iterations"])
-    hist = np.asarray(info["history"])[: it + 1]
-    return u, {
-        "iterations": it,
-        "residual_norm": float(info["residual_norm"]),
-        "initial_residual_norm": float(info["initial_residual_norm"]),
-        "rhs_norm": float(info["rhs_norm"]),
-        "history": hist,
-        "converged": bool(info["converged"]),
-        "convergence_factor": convergence_factor(hist),
-        "method": "iterative_refinement",
-    }
+    u, packed = _ir_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer)
+    out = mg_mod._unpack_info(np.asarray(packed))
+    out["method"] = "iterative_refinement"
+    return u, out
 
 
 _STAGE_ORDER = [Precision.BF16, Precision.FP32, Precision.FP64]
