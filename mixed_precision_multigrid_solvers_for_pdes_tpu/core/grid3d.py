@@ -18,7 +18,9 @@ from .grid import LANE, SUBLANE, _round_up
 
 
 def padded_shape3d(nx: int, ny: int, nz: int) -> Tuple[int, int, int]:
-    return (nx, _round_up(ny, SUBLANE), _round_up(nz, LANE))
+    # x rounds to even so parity-plane transfers can reshape (nx is 2^k+1,
+    # i.e. odd); tiling only constrains the trailing two dims.
+    return (_round_up(nx, 2), _round_up(ny, SUBLANE), _round_up(nz, LANE))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,10 +13,7 @@ nf = 2*(nc-1)+1.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-
-import numpy as np
 
 
 def _fine_window(rf, ncx, ncy, d0, d1):
@@ -25,31 +22,44 @@ def _fine_window(rf, ncx, ncy, d0, d1):
               2 + d1 : 2 * (ncy - 2) + d1 + 1 : 2]
 
 
-_FW_KERNEL = np.outer([1.0, 2.0, 1.0], [1.0, 2.0, 1.0]) / 16.0
-_HW_KERNEL = np.array([[0, 1, 0], [1, 4, 1], [0, 1, 0]], dtype=np.float64) / 8.0
+def _restrict_interior_parity(rf, ncx, ncy, dtype, *, full: bool):
+    """Interior of the 9/5-point restriction via parity-plane decomposition.
 
+    Performance history (measured v5e, fp32, 1025^2 -> 513^2, k=64 chained
+    with dispatch overhead subtracted):
+    - 9-window stride-2 slicing: ~23 ms (lane-dim strided gathers).
+    - stride-2 VALID conv: ~2 ms BUT XLA TPU convs run at bf16-ish default
+      precision (observed 2e-3 relative error); with Precision.HIGHEST the
+      conv costs ~4 ms.
+    - this formulation: ~2.4 ms at FULL f32 precision — reshape the padded
+      array into four parity planes (even/odd x even/odd), then the nine
+      windows become contiguous unit rolls of whole planes (VPU-friendly).
 
-def _restrict_interior_conv(rf, ncx, ncy, kernel, dtype):
-    """Interior of the 9/5-point restriction as a stride-2 VALID conv.
-
-    On TPU the 9-window stride-2 slicing formulation costs ~23 ms at
-    1025^2 -> 513^2 (lane-dim stride-2 gathers); the identical conv costs
-    ~2 ms (measured v5e, fp32) because XLA lowers strided convs natively.
-    Coarse node i sits at fine 2i; VALID windows on rf[1:, 1:] are centered
-    at fine 2j+2, giving coarse nodes 1..nc-2 exactly.
+    Coarse node (i, j) sits at fine (2i, 2j) = ee[i, j]; odd-index neighbors
+    live on the oe/eo/oo planes at offsets {0, -1}.
     """
-    x = rf[None, None, 1 : 2 * (ncx - 1), 1 : 2 * (ncy - 1)].astype(dtype)
-    k = jnp.asarray(kernel, dtype).reshape(1, 1, 3, 3)
-    out = jax.lax.conv_general_dilated(x, k, (2, 2), "VALID")
-    return out[0, 0]
+    px, py = rf.shape
+    v = rf.astype(dtype).reshape(px // 2, 2, py // 2, 2)
+    ee = v[:, 0, :, 0]
+    eo = v[:, 0, :, 1]
+    oe = v[:, 1, :, 0]
+    oo = v[:, 1, :, 1]
 
+    def up(a):  # a[i-1, j] (wrap touches only i=0, sliced away below)
+        return jnp.roll(a, 1, 0)
 
-def _conv_ok(dtype) -> bool:
-    """Conv fast path: fp32/bf16 everywhere; fp64 only off-TPU (TPU has no
-    native f64 conv)."""
-    if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
-        return True
-    return jax.default_backend() != "tpu"
+    def lf(a):  # a[i, j-1]
+        return jnp.roll(a, 1, 1)
+
+    if full:
+        c = (
+            4.0 * ee
+            + 2.0 * (oe + up(oe) + eo + lf(eo))
+            + (oo + up(oo) + lf(oo) + up(lf(oo)))
+        ) / 16.0
+    else:  # half weighting: [0 1 0; 1 4 1; 0 1 0]/8
+        c = (4.0 * ee + oe + up(oe) + eo + lf(eo)) / 8.0
+    return c[1 : ncx - 1, 1 : ncy - 1]
 
 
 def restrict(
@@ -89,22 +99,9 @@ def restrict(
     if method == "injection":
         interior = _fine_window(rf, ncx, ncy, 0, 0)
     elif method == "half_weighting":
-        if _conv_ok(dtype):
-            interior = _restrict_interior_conv(rf, ncx, ncy, _HW_KERNEL, dtype)
-        else:
-            interior = 0.5 * _fine_window(rf, ncx, ncy, 0, 0)
-            for d0, d1 in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                interior = interior + 0.125 * _fine_window(rf, ncx, ncy, d0, d1)
+        interior = _restrict_interior_parity(rf, ncx, ncy, dtype, full=False)
     elif method == "full_weighting":
-        if _conv_ok(dtype):
-            interior = _restrict_interior_conv(rf, ncx, ncy, _FW_KERNEL, dtype)
-        else:
-            interior = None
-            for d0 in (-1, 0, 1):
-                for d1 in (-1, 0, 1):
-                    wgt = (2 - abs(d0)) * (2 - abs(d1)) / 16.0
-                    term = wgt * _fine_window(rf, ncx, ncy, d0, d1)
-                    interior = term if interior is None else interior + term
+        interior = _restrict_interior_parity(rf, ncx, ncy, dtype, full=True)
     else:
         raise ValueError(f"unknown restriction {method!r}")
 

@@ -7,14 +7,37 @@ formulation that proved ~6x faster than stride-2 scatters in 2D.
 
 from __future__ import annotations
 
-import jax
+import itertools
+
 import jax.numpy as jnp
-import numpy as np
 
-from .transfer import _conv_ok
 
-_k1 = np.array([1.0, 2.0, 1.0])
-_FW3 = np.einsum("i,j,k->ijk", _k1, _k1, _k1) / 64.0
+def _restrict_interior_parity3(rf, ncx, ncy, ncz, dtype):
+    """27-point full weighting via parity-plane decomposition (see the 2D
+    version in transfer.py for the why: contiguous unit rolls instead of
+    stride-2 gathers, full precision, no conv)."""
+    px, py, pz = rf.shape
+    v = rf.astype(dtype).reshape(px // 2, 2, py // 2, 2, pz // 2, 2)
+    planes = {
+        (p0, p1, p2): v[:, p0, :, p1, :, p2]
+        for p0 in (0, 1) for p1 in (0, 1) for p2 in (0, 1)
+    }
+    acc = 8.0 * planes[(0, 0, 0)]
+    for par in planes:
+        odd_axes = [ax for ax, p in enumerate(par) if p == 1]
+        if not odd_axes:
+            continue
+        w = {1: 4.0, 2: 2.0, 3: 1.0}[len(odd_axes)]
+        base = planes[par]
+        # sum of the plane shifted by 0/-1 along each odd axis
+        for shifts in itertools.product((0, 1), repeat=len(odd_axes)):
+            t = base
+            for ax, s in zip(odd_axes, shifts):
+                if s:
+                    t = jnp.roll(t, 1, ax)
+            acc = acc + w * t
+    c = acc / 64.0
+    return c[1 : ncx - 1, 1 : ncy - 1, 1 : ncz - 1]
 
 
 def _fine_window3(rf, ncx, ncy, ncz, d0, d1, d2):
@@ -33,21 +56,7 @@ def restrict3d(rf, ncx: int, ncy: int, ncz: int, pshape_coarse, *,
     if method == "injection":
         interior = _fine_window3(rf, ncx, ncy, ncz, 0, 0, 0)
     elif method == "full_weighting":
-        if _conv_ok(dtype):
-            # stride-2 VALID conv (see transfer._restrict_interior_conv for
-            # why: stride-2 slicing gathers are pathological on TPU)
-            x = rf[None, None, 1 : 2 * (ncx - 1), 1 : 2 * (ncy - 1),
-                   1 : 2 * (ncz - 1)].astype(dtype)
-            k = jnp.asarray(_FW3, dtype).reshape(1, 1, 3, 3, 3)
-            interior = jax.lax.conv_general_dilated(x, k, (2, 2, 2), "VALID")[0, 0]
-        else:
-            interior = None
-            for d0 in (-1, 0, 1):
-                for d1 in (-1, 0, 1):
-                    for d2 in (-1, 0, 1):
-                        wgt = ((2 - abs(d0)) * (2 - abs(d1)) * (2 - abs(d2))) / 64.0
-                        term = wgt * _fine_window3(rf, ncx, ncy, ncz, d0, d1, d2)
-                        interior = term if interior is None else interior + term
+        interior = _restrict_interior_parity3(rf, ncx, ncy, ncz, dtype)
     else:
         raise ValueError(f"unknown restriction {method!r}")
     out = jnp.zeros(pshape_coarse, dtype)

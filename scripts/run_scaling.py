@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Weak/strong scaling harness over a device mesh.
+
+Counterpart of the reference's multi-GPU scaling tables (reference
+docs/results.md:358-384 — 93.9% strong @2 GPUs, 57.6% weak @16), measured
+here over real `jax.sharding.Mesh` SPMD solves. On a single-chip session run
+with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 to
+exercise the partitioned code path; on a real slice the same script measures
+honest ICI scaling.
+
+Usage: python scripts/run_scaling.py [--mode weak|strong] [--base 513]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import mixed_precision_multigrid_solvers_for_pdes_tpu as mg  # noqa: E402
+from mixed_precision_multigrid_solvers_for_pdes_tpu import parallel  # noqa: E402
+from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P  # noqa: E402
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (  # noqa: E402
+    MultigridConfig,
+    mg_cycle,
+)
+
+
+def time_cycles(mesh, n: int, k: int = 32, runs: int = 3) -> float:
+    """Wall time per V-cycle at size n over the mesh (k chained cycles)."""
+    prob = P.poisson_mms_sinsin(n)
+    cfg = MultigridConfig(smoother="rbgs", omega=1.0, backend="xla")
+    levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float32", cfg=cfg)
+    constrain = parallel.make_constrainer(mesh)
+    f = prob.rhs(jnp.float32)
+    u0 = jnp.zeros(levels[0].grid.shape_padded, jnp.float32)
+    f, u0 = parallel.shard_inputs(mesh, levels, f, u0)
+
+    @jax.jit
+    def run(u, f):
+        def body(u, _):
+            u = constrain(u, levels[0])
+            return mg_cycle(levels, u, f, cfg, constrain), None
+        u, _ = jax.lax.scan(body, u, None, length=k)
+        return u
+
+    out = run(u0, f)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = run(u0, f)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / runs / k
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("weak", "strong", "both"), default="both")
+    ap.add_argument("--base", type=int, default=513,
+                    help="grid size at 1 device (weak) / fixed size (strong)")
+    ap.add_argument("--out", default="reports")
+    args = ap.parse_args()
+    devices = jax.devices()
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= len(devices)]
+    out = {"device": str(devices[0]), "counts": counts}
+
+    if args.mode in ("strong", "both"):
+        rows = {}
+        t1 = None
+        for c in counts:
+            mesh = parallel.make_mesh(devices[:c])
+            t = time_cycles(mesh, args.base)
+            t1 = t1 or t
+            rows[c] = {"s_per_cycle": t, "speedup": t1 / t,
+                       "efficiency": t1 / t / c}
+            print(f"strong n={args.base} devices={c}: {t*1e3:.2f} ms/cycle, "
+                  f"eff {rows[c]['efficiency']:.1%}")
+        out["strong"] = rows
+
+    if args.mode in ("weak", "both"):
+        rows = {}
+        t1 = None
+        for c in counts:
+            # keep per-device work constant: N scales with device count
+            import math
+
+            scale = int(round(math.sqrt(c)))
+            if scale * scale != c:
+                continue
+            n = (args.base - 1) * scale + 1
+            mesh = parallel.make_mesh(devices[:c])
+            t = time_cycles(mesh, n)
+            t1 = t1 or t
+            rows[c] = {"n": n, "s_per_cycle": t, "efficiency": t1 / t}
+            print(f"weak n={n} devices={c}: {t*1e3:.2f} ms/cycle, "
+                  f"eff {rows[c]['efficiency']:.1%}")
+        out["weak"] = rows
+
+    Path(args.out).mkdir(parents=True, exist_ok=True)
+    (Path(args.out) / "scaling_report.json").write_text(
+        json.dumps(out, indent=2, default=float))
+    print(json.dumps({k: v for k, v in out.items() if k != "device"},
+                     default=float)[:500])
+
+
+if __name__ == "__main__":
+    main()

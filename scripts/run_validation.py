@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Run the full validation battery and write honest reports.
+
+Counterpart of the reference's validation entry points (reference
+run_benchmarks.py + validation/simple_validation.py) — except every number
+here comes from a real solve (the reference's default path synthesized data
+with np.random, reference run_benchmarks.py:42-56).
+
+Usage: python scripts/run_validation.py [--quick] [--out reports/]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import mixed_precision_multigrid_solvers_for_pdes_tpu as mg  # noqa: E402
+from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P  # noqa: E402
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (  # noqa: E402
+    MultigridConfig,
+)
+from mixed_precision_multigrid_solvers_for_pdes_tpu.validation import (  # noqa: E402
+    MMSValidator,
+    TheoreticalAnalyzer,
+    measure_two_grid_factor,
+)
+from mixed_precision_multigrid_solvers_for_pdes_tpu.validation.theory import (  # noqa: E402
+    validate_h_independence,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller ladders")
+    ap.add_argument("--out", default="reports")
+    args = ap.parse_args()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    cfg = MultigridConfig(smoother="rbgs", omega=1.0)
+    sizes = (17, 33, 65) if args.quick else (17, 33, 65, 129)
+    heat_sizes = (17, 33) if args.quick else (17, 33, 65)
+    t0 = time.time()
+
+    # 1) MMS order-of-accuracy suite
+    v = MMSValidator(cfg=cfg)
+    v.run_standard_suite(sizes=sizes, heat_sizes=heat_sizes)
+    summary = v.summary()
+
+    # 2) measured cycle convergence factors by problem class
+    #    (reference docs/results.md:229-241 claims rho 0.089-0.142)
+    rho_sizes = (129,) if args.quick else (129, 257)
+    rhos = {}
+    for key in ("trigonometric", "anisotropic", "jump_coefficient",
+                "variable_coefficient", "helmholtz"):
+        for n in rho_sizes:
+            prob = P.CATALOGUE[key](n)
+            levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                        lam=prob.lam, dtype="float64", cfg=cfg)
+            rhos[f"{key}_{n}"] = measure_two_grid_factor(levels, cfg)["rho"]
+
+    # 3) h-independence
+    hind = validate_h_independence(
+        P.poisson_mms_sinsin, sizes=(33, 65) if args.quick else (33, 65, 129),
+        cfg=cfg)
+
+    # 4) LFA reference values
+    ta = TheoreticalAnalyzer()
+    lfa = {
+        "jacobi_smoothing_factor_w0.8": ta.jacobi_smoothing_factor(0.8),
+        "gs_lex_smoothing_factor": ta.gs_lex_smoothing_factor(),
+    }
+
+    report = {
+        "summary": summary,
+        "cycle_factors": rhos,
+        "max_cycle_factor": max(rhos.values()),
+        "h_independence": {k: v for k, v in hind.items() if k != "rhos"},
+        "h_independence_rhos": hind["rhos"],
+        "lfa": lfa,
+        "wall_s": time.time() - t0,
+    }
+    (out / "validation_report.json").write_text(json.dumps(report, indent=2,
+                                                           default=float))
+
+    lines = [v.report_markdown(), "", "## Measured cycle convergence factors",
+             "", "| problem | rho |", "|---|---|"]
+    for k, r in sorted(rhos.items()):
+        lines.append(f"| {k} | {r:.4f} |")
+    lines += ["", f"h-independent: {hind['h_independent']} "
+              f"(spread {hind['spread']:.4f})",
+              f"LFA: {lfa}"]
+    (out / "validation_report.md").write_text("\n".join(lines))
+
+    passed, total = summary["passed"], summary["total"]
+    print(f"validation: {passed}/{total} MMS suites passed; "
+          f"max rho {max(rhos.values()):.4f}; "
+          f"h-independent={hind['h_independent']}; "
+          f"{report['wall_s']:.1f}s")
+    if passed < total:
+        print("FAILED:", summary["failed"])
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

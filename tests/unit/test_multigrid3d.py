@@ -28,7 +28,8 @@ class TestGrid3D:
         assert g.hx == pytest.approx(1 / 16)
         assert g.hz == pytest.approx(1 / 64)
         px, py, pz = g.shape_padded
-        assert px == 17 and py % 16 == 0 and pz % 128 == 0
+        # x rounds to even (parity-plane transfers); trailing dims to tiles
+        assert px == 18 and py % 16 == 0 and pz % 128 == 0
 
     def test_coarsen_refine_roundtrip(self):
         g = Grid3D(17, 17, 17)
