@@ -31,7 +31,9 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pallas_smooth_ok(stencil, u, lev, backend: str) -> bool:
+def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bool:
+    if method not in ("jacobi", "rbgs", "gauss_seidel", "red_black", "sor"):
+        return False  # line/ADI smoothers are XLA-only (tridiagonal_solve)
     if backend in ("xla", "auto"):
         # Measured on v5e (k=64 chained cycles, dispatch overhead subtracted):
         # full-depth 1025^2 V(2,2) cycle is 2.5 ms on the XLA path vs 9.5 ms
@@ -50,7 +52,7 @@ def _pallas_smooth_ok(stencil, u, lev, backend: str) -> bool:
 
 def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
            backend: str = "auto"):
-    if _pallas_smooth_ok(stencil, u, lev, backend):
+    if _pallas_smooth_ok(stencil, u, lev, backend, method):
         from .pallas_kernels import smooth as psmooth
 
         return psmooth.multisweep(

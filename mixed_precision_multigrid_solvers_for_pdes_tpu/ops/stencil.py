@@ -131,11 +131,19 @@ def make_stencil(
         as_ = an = jnp.asarray(1.0, dtype)
     else:
         a = jnp.asarray(a, dtype)
-        # face-averaged coefficients (arithmetic mean of node values)
-        aw = 0.5 * (a + shift_w(a))
-        ae = 0.5 * (a + shift_e(a))
-        as_ = 0.5 * (a + shift_s(a))
-        an = 0.5 * (a + shift_n(a))
+
+        # harmonic face means: exact flux continuity across coefficient
+        # interfaces. With arithmetic means a 1e3:1 jump drives the V-cycle
+        # factor to ~0.6; harmonic restores the textbook behavior.
+        def face(an_):
+            s = a + an_
+            return jnp.where(s > 0, 2.0 * a * an_ / jnp.where(s > 0, s, 1.0),
+                             jnp.zeros((), dtype))
+
+        aw = face(shift_w(a))
+        ae = face(shift_e(a))
+        as_ = face(shift_s(a))
+        an = face(shift_n(a))
 
     ones = jnp.ones(pshape, dtype)
     w = ones * (aw * ihx2)
