@@ -84,29 +84,38 @@ def _line_update(st: Stencil, u, f, unknown, axis: int, color_mask):
     the simulated path, reference benchmarks/validation_suite.py:256-300).
     Batched ``tridiagonal_solve`` maps every line onto one fused device op.
     """
+    from .tridiag import tridiagonal_solve
+
     dtype = u.dtype
     ones = jnp.ones(u.shape, dtype)
     c = st.c * ones
+    zero = jnp.zeros((), dtype)
     if axis == 1:
         # solve along y: keep s/n in the tridiagonal, lag w/e
         rhs = f + st.w * shift_w(u) + st.e * shift_e(u)
-        dl, du = -(st.s * ones), -(st.n * ones)
-        m = unknown
+        lo_unknown = jnp.roll(unknown, 1, 1)   # is (i, j-1) an unknown?
+        hi_unknown = jnp.roll(unknown, -1, 1)
+        lo_val, hi_val = shift_s(u), shift_n(u)
+        lo_c, hi_c = st.s * ones, st.n * ones
     else:
-        # solve along x: keep w/e, lag s/n; transpose so lines are minor-axis
+        # solve along x: keep w/e, lag s/n
         rhs = f + st.s * shift_s(u) + st.n * shift_n(u)
-        dl, du = -(st.w * ones), -(st.e * ones)
-        dl, du = jnp.swapaxes(dl, 0, 1), jnp.swapaxes(du, 0, 1)
-        c = jnp.swapaxes(c, 0, 1)
-        rhs = jnp.swapaxes(rhs, 0, 1)
-        m = jnp.swapaxes(unknown, 0, 1)
-    rhs = jnp.where(m, rhs, jnp.zeros((), dtype))
-    dl = jnp.where(m, dl, jnp.zeros((), dtype))
-    du = jnp.where(m, du, jnp.zeros((), dtype))
-    d = jnp.where(m, c, jnp.ones((), dtype))
-    z = jax.lax.linalg.tridiagonal_solve(dl, d, du, rhs[..., None])[..., 0]
-    if axis == 0:
-        z = jnp.swapaxes(z, 0, 1)
+        lo_unknown = jnp.roll(unknown, 1, 0)
+        hi_unknown = jnp.roll(unknown, -1, 0)
+        lo_val, hi_val = shift_w(u), shift_e(u)
+        lo_c, hi_c = st.w * ones, st.e * ones
+    # couplings to FIXED line neighbors (Dirichlet ring values) move to the
+    # rhs; couplings to unknown neighbors stay in the tridiagonal
+    rhs = rhs + jnp.where(lo_unknown, zero, lo_c * lo_val)
+    rhs = rhs + jnp.where(hi_unknown, zero, hi_c * hi_val)
+    dl = jnp.where(lo_unknown, -lo_c, zero)
+    du = jnp.where(hi_unknown, -hi_c, zero)
+    # identity rows off the unknown set keep fixed/padding nodes untouched
+    rhs = jnp.where(unknown, rhs, zero)
+    dl = jnp.where(unknown, dl, zero)
+    du = jnp.where(unknown, du, zero)
+    d = jnp.where(unknown, c, jnp.ones((), dtype))
+    z = tridiagonal_solve(dl, d, du, rhs, axis=axis)
     return jnp.where(color_mask & unknown, z, u)
 
 

@@ -50,32 +50,22 @@ def block_line(st: Stencil, unknown, *, axis: int = 0) -> Callable:
     axis=1: solve y-lines (couplings s/n kept).
     """
 
+    from ..ops.tridiag import tridiagonal_solve
+
     def apply(r):
         dtype = r.dtype
         ones = jnp.ones(r.shape, dtype)
-        c = (st.c * ones)
+        c = st.c * ones
         if axis == 0:
-            lower = -(st.w * ones)
-            upper = -(st.e * ones)
-            # tridiagonal_solve operates along the last axis of (..., n)
-            dl = jnp.swapaxes(lower, 0, 1)
-            d = jnp.swapaxes(c, 0, 1)
-            du = jnp.swapaxes(upper, 0, 1)
-            b = jnp.swapaxes(jnp.where(unknown, r, jnp.zeros((), dtype)), 0, 1)
+            dl, du = -(st.w * ones), -(st.e * ones)
         else:
-            dl = -(st.s * ones)
-            d = c
-            du = -(st.n * ones)
-            b = jnp.where(unknown, r, jnp.zeros((), dtype))
+            dl, du = -(st.s * ones), -(st.n * ones)
+        b = jnp.where(unknown, r, jnp.zeros((), dtype))
         # neutralize rows off the unknown mask: identity equations
-        m = jnp.swapaxes(unknown, 0, 1) if axis == 0 else unknown
-        dl = jnp.where(m, dl, jnp.zeros((), dtype))
-        du = jnp.where(m, du, jnp.zeros((), dtype))
-        d = jnp.where(m, d, jnp.ones((), dtype))
-        # first/last-entry convention: dl[..., 0] and du[..., -1] ignored
-        z = jax.lax.linalg.tridiagonal_solve(dl, d, du, b[..., None])[..., 0]
-        if axis == 0:
-            z = jnp.swapaxes(z, 0, 1)
+        dl = jnp.where(unknown, dl, jnp.zeros((), dtype))
+        du = jnp.where(unknown, du, jnp.zeros((), dtype))
+        d = jnp.where(unknown, c, jnp.ones((), dtype))
+        z = tridiagonal_solve(dl, d, du, b, axis=axis)
         return jnp.where(unknown, z, jnp.zeros((), dtype))
 
     return apply

@@ -97,6 +97,9 @@ def iterative_solve(
             "gauss_seidel": 1.0,
             "red_black": 1.0,
             "sor": smooth_mod.optimal_sor_omega(g.nx, g.ny),
+            "line_x": 1.0,
+            "line_y": 1.0,
+            "adi": 1.0,
         }[method]
     kernel = "jacobi" if method == "weighted_jacobi" else method
     if u0 is None:

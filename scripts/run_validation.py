@@ -54,13 +54,21 @@ def main():
     #    (reference docs/results.md:229-241 claims rho 0.089-0.142)
     rho_sizes = (129,) if args.quick else (129, 257)
     rhos = {}
+    # per-class solver choice: anisotropy needs line smoothing, jumps a
+    # W-cycle (reference docs/results.md:233-236 rows; ours are measured)
+    class_cfg = {
+        "anisotropic": cfg.replace(smoother="adi"),
+        "jump_coefficient": cfg.replace(cycle="W"),
+    }
     for key in ("trigonometric", "anisotropic", "jump_coefficient",
                 "variable_coefficient", "helmholtz"):
+        ccfg = class_cfg.get(key, cfg)
         for n in rho_sizes:
             prob = P.CATALOGUE[key](n)
             levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
-                                        lam=prob.lam, dtype="float64", cfg=cfg)
-            rhos[f"{key}_{n}"] = measure_two_grid_factor(levels, cfg)["rho"]
+                                        lam=prob.lam, dtype="float64",
+                                        cfg=ccfg)
+            rhos[f"{key}_{n}"] = measure_two_grid_factor(levels, ccfg)["rho"]
 
     # 3) h-independence
     hind = validate_h_independence(

@@ -83,6 +83,102 @@ def test_sor_omega_helper():
     assert 1.8 < w < 2.0
 
 
+def test_pcr_tridiagonal_solve_exact():
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.tridiag import (
+        pcr_solve,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 37
+    dl = rng.standard_normal((5, n))
+    du = rng.standard_normal((5, n))
+    d = 4.0 + np.abs(dl) + np.abs(du)
+    b = rng.standard_normal((5, n))
+    x = np.asarray(pcr_solve(jnp.asarray(dl), jnp.asarray(d),
+                             jnp.asarray(du), jnp.asarray(b), axis=-1))
+    for k in range(5):
+        A = np.diag(d[k]) + np.diag(dl[k][1:], -1) + np.diag(du[k][:-1], 1)
+        assert np.linalg.norm(A @ x[k] - b[k]) < 1e-10 * np.linalg.norm(b[k])
+
+
+def test_line_smoother_solves_lines_exactly():
+    """A y-line smoother applied to a problem with NO x-coupling must solve
+    in one zebra sweep (both colors decouple)."""
+    g = Grid(9, 9)
+    # anisotropic limit: pure y-coupling stencil built by hand
+    base = st_mod.make_stencil(g, dtype=jnp.float64)
+    st = st_mod.Stencil(
+        c=2.0 * base.s, w=jnp.asarray(0.0, jnp.float64),
+        e=jnp.asarray(0.0, jnp.float64), s=base.s, n=base.n,
+    )
+    unknown = bc_mod.unknown_mask(g.nx, g.ny, g.shape_padded, bc_mod.dirichlet())
+    rng = np.random.default_rng(3)
+    f = np.zeros((9, 9))
+    f[1:-1, 1:-1] = rng.standard_normal((7, 7))
+    f = jnp.asarray(g.pad_field(f))
+    u = sm.line_sweep(st, jnp.zeros(g.shape_padded, jnp.float64), f, unknown, 1)
+    r = norms.scaled_l2(st_mod.residual(st, u, f, unknown), g.hx, g.hy)
+    assert float(r) < 1e-10
+
+
+def test_line_smoother_inhomogeneous_dirichlet():
+    """Line update must honor nonzero Dirichlet ring values (coupling moved
+    to the rhs)."""
+    g = Grid(9, 9)
+    st = st_mod.make_stencil(g, dtype=jnp.float64)
+    unknown = bc_mod.unknown_mask(g.nx, g.ny, g.shape_padded, bc_mod.dirichlet())
+    X, Y = g.coordinates(padded=True)
+    exact = jnp.asarray(X**2 + Y**2)  # A u = -4, exact for 5-point
+    f = jnp.where(unknown, -4.0, 0.0)
+    u = jnp.where(unknown, jnp.zeros(()), exact)  # exact values on the ring
+    for _ in range(200):
+        u = sm.line_sweep(st, u, f, unknown, 1)
+    logical = bc_mod.logical_mask(g.nx, g.ny, g.shape_padded)
+    err = jnp.where(logical, u - exact, 0.0)
+    assert float(jnp.max(jnp.abs(err))) < 1e-8
+
+
+def test_adi_beats_rbgs_on_anisotropic():
+    import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+        MultigridConfig,
+    )
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.validation.theory import (
+        measure_two_grid_factor,
+    )
+
+    prob = P.poisson_mms_anisotropic(33)
+    rhos = {}
+    for smoother in ("rbgs", "adi"):
+        cfg = MultigridConfig(smoother=smoother, omega=1.0)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=cfg)
+        rhos[smoother] = measure_two_grid_factor(levels, cfg, n_cycles=8)["rho"]
+    assert rhos["adi"] < 0.2
+    assert rhos["adi"] < 0.5 * rhos["rbgs"]
+
+
+def test_harmonic_faces_jump_coefficient_w_cycle():
+    import jax.numpy as jnp
+
+    import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+        MultigridConfig,
+    )
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.validation.theory import (
+        measure_two_grid_factor,
+    )
+
+    prob = P.jump_coefficient_problem(33, ratio=1e3)
+    cfg = MultigridConfig(smoother="rbgs", omega=1.0, cycle="W")
+    levels = mg.build_hierarchy(prob.grid, prob.spec, a=jnp.asarray(prob.a),
+                                dtype="float64", cfg=cfg)
+    rho = measure_two_grid_factor(levels, cfg, n_cycles=8)["rho"]
+    assert rho < 0.3, rho
+
+
 def test_smooth_many_sweeps_fori_loop_path():
     g, st, unknown, f, u0 = _setup(9)
     u_loop = sm.smooth(st, u0, f, unknown, method="jacobi", sweeps=8, omega=0.8)
