@@ -13,7 +13,8 @@ from .heat import (  # noqa: F401
     solve_heat,
     stability_limit_dt,
 )
-from . import heat3d, heat_problems  # noqa: F401
+from . import heat3d, heat_problems, precision_analysis  # noqa: F401
+from .precision_analysis import MixedPrecisionAnalyzer  # noqa: F401
 from .heat3d import HeatProblem3D, solve_heat3d  # noqa: F401
 from .poisson import (  # noqa: F401
     PoissonResult,
