@@ -221,9 +221,12 @@ def make_step_fn(
     unknown = lev0.unknown
     X, Y = problem.mesh(dtype)
     st_sp = lev0.stencil  # fine-level spatial stencil (lam=0)
+    sync0 = lev0.sync
 
     def apply_sp(u):
         """A_sp u minus the BC-elimination correction (the true operator)."""
+        if sync0 is not None:
+            u = sync0(u)
         return st_mod.apply(st_sp, u)
 
     def cycles(levels, u, f):

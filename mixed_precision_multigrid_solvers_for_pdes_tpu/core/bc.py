@@ -112,20 +112,56 @@ def unknown_mask(nx: int, ny: int, pshape: Tuple[int, int], spec: BoundarySpec):
     """Boolean (padded) mask: True where the solver owns the node.
 
     Padding cells and Dirichlet-side boundary nodes are False; Neumann/Robin
-    boundary nodes are True. Built from iota so XLA fuses it into consumers.
+    boundary nodes are True. Periodic axes own nodes 0..n-2 (node n-1 is the
+    duplicate of node 0, kept as a synced ghost). Built from iota so XLA
+    fuses it into consumers.
     """
     i = jax.lax.broadcasted_iota(jnp.int32, pshape, 0)
     j = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
     mask = (i < nx) & (j < ny)
-    if spec.west.kind == BCKind.DIRICHLET:
-        mask &= i > 0
-    if spec.east.kind == BCKind.DIRICHLET:
+    if spec.west.kind == BCKind.PERIODIC:
         mask &= i < nx - 1
-    if spec.south.kind == BCKind.DIRICHLET:
-        mask &= j > 0
-    if spec.north.kind == BCKind.DIRICHLET:
+    else:
+        if spec.west.kind == BCKind.DIRICHLET:
+            mask &= i > 0
+        if spec.east.kind == BCKind.DIRICHLET:
+            mask &= i < nx - 1
+    if spec.south.kind == BCKind.PERIODIC:
         mask &= j < ny - 1
+    else:
+        if spec.south.kind == BCKind.DIRICHLET:
+            mask &= j > 0
+        if spec.north.kind == BCKind.DIRICHLET:
+            mask &= j < ny - 1
     return mask
+
+
+def periodic_sync(nx: int, ny: int, pshape: Tuple[int, int],
+                  spec: BoundarySpec):
+    """Ghost-refresh function for periodic axes, or None if none are periodic.
+
+    Periodic storage convention: unique nodes 0..n-2; node n-1 duplicates
+    node 0; the LAST padded line (index p-1) carries node n-2 so that a plain
+    ``jnp.roll(+1)`` delivers the correct west/south wrap neighbor at index 0
+    (and roll(-1) at n-2 reads the duplicate at n-1). Two writes per axis —
+    the TPU analogue of the reference's periodic wrap copies
+    (reference boundary_conditions/advanced_bc.py:182-217)."""
+    px, py = pshape
+    wrap_x = spec.west.kind == BCKind.PERIODIC
+    wrap_y = spec.south.kind == BCKind.PERIODIC
+    if not (wrap_x or wrap_y):
+        return None
+
+    def sync(u):
+        if wrap_x:
+            u = u.at[nx - 1, :].set(u[0, :])
+            u = u.at[px - 1, :].set(u[nx - 2, :])
+        if wrap_y:
+            u = u.at[:, ny - 1].set(u[:, 0])
+            u = u.at[:, py - 1].set(u[:, ny - 2])
+        return u
+
+    return sync
 
 
 def side_mask(name: str, nx: int, ny: int, pshape: Tuple[int, int]):

@@ -241,6 +241,30 @@ def helmholtz_mms(n: int, k: float = 2.0) -> Problem:
     return prob
 
 
+def periodic_helmholtz_mms(n: int) -> Problem:
+    """Shifted Helmholtz -(lap u) + u = f, fully periodic on [0,1]^2:
+    u = sin(2 pi x) cos(2 pi y), f = (8 pi^2 + 1) u. The +1 shift makes the
+    periodic operator nonsingular (pure periodic Poisson has the constant
+    nullspace). Exercises the wrap-ghost machinery end to end — the
+    reference's periodic support never reached its solvers
+    (reference boundary_conditions/advanced_bc.py:182-217)."""
+    grid = Grid(n, n)
+    pi = np.pi
+    spec = BoundarySpec(
+        west=bc_mod.BCSide(kind=BCKind.PERIODIC),
+        east=bc_mod.BCSide(kind=BCKind.PERIODIC),
+        south=bc_mod.BCSide(kind=BCKind.PERIODIC),
+        north=bc_mod.BCSide(kind=BCKind.PERIODIC),
+    )
+    return from_callables(
+        "periodic_helmholtz", grid,
+        u_exact=lambda X, Y: np.sin(2 * pi * X) * np.cos(2 * pi * Y),
+        f=lambda X, Y: (8 * pi**2 + 1) * np.sin(2 * pi * X) * np.cos(2 * pi * Y),
+        spec=spec,
+        lam=1.0,
+    )
+
+
 def variable_coefficient_mms(n: int) -> Problem:
     """-div(a grad u) = f with a = 1 + x + y (smooth, positive) and
     u = sin(pi x) sin(pi y).
@@ -291,4 +315,5 @@ CATALOGUE = {
     "helmholtz": helmholtz_mms,
     "variable_coefficient": variable_coefficient_mms,
     "jump_coefficient": jump_coefficient_problem,
+    "periodic_helmholtz": periodic_helmholtz_mms,
 }

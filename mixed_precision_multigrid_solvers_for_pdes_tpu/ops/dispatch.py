@@ -52,7 +52,8 @@ def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bo
 
 def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
            backend: str = "auto"):
-    if _pallas_smooth_ok(stencil, u, lev, backend, method):
+    sync = lev.sync
+    if sync is None and _pallas_smooth_ok(stencil, u, lev, backend, method):
         from .pallas_kernels import smooth as psmooth
 
         return psmooth.multisweep(
@@ -61,5 +62,6 @@ def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
             method=method, sweeps=sweeps, omega=omega,
         )
     return smooth_mod.smooth(
-        stencil, u, f, lev.unknown, method=method, sweeps=sweeps, omega=omega
+        stencil, u, f, lev.unknown, method=method, sweeps=sweeps, omega=omega,
+        sync=sync,
     )

@@ -47,30 +47,39 @@ def _parity(pshape):
     return (i + j) % 2 == 0
 
 
-def jacobi_sweep(st: Stencil, u, f, unknown, omega):
+def jacobi_sweep(st: Stencil, u, f, unknown, omega, sync=None):
     """One weighted-Jacobi sweep: u += omega * (f - A u) / diag, masked."""
+    if sync is not None:
+        u = sync(u)
     r = f - st_mod.apply(st, u)
     u_new = u + jnp.asarray(omega, u.dtype) * r / st.c
     return jnp.where(unknown, u_new, u)
 
 
-def rb_color_update(st: Stencil, u, f, unknown, color_mask, omega):
+def rb_color_update(st: Stencil, u, f, unknown, color_mask, omega, sync=None):
     """Gauss-Seidel update of one color: u = (f + neighbor_sum)/c, relaxed."""
+    if sync is not None:
+        u = sync(u)
     u_gs = (f + st_mod.neighbor_sum(st, u)) / st.c
     omega = jnp.asarray(omega, u.dtype)
     u_new = u + omega * (u_gs - u)
     return jnp.where(color_mask & unknown, u_new, u)
 
 
-def rbgs_sweep(st: Stencil, u, f, unknown, omega=1.0):
+def rbgs_sweep(st: Stencil, u, f, unknown, omega=1.0, sync=None):
     """One red-black Gauss-Seidel sweep (red then black).
 
     Black updates see the freshly-updated red values — true GS ordering, same
     as reference cuda_kernels.py:147-177 launched per color.
+
+    NOTE on periodic axes: the unique extent n-1 is ODD for 2^k+1 grids, so
+    the red/black parity pattern has a color seam at the wrap — updates there
+    are Jacobi-like across the seam, which only perturbs the smoothing factor
+    marginally (the seam is a measure-zero line).
     """
     red = _parity(u.shape)
-    u = rb_color_update(st, u, f, unknown, red, omega)
-    u = rb_color_update(st, u, f, unknown, ~red, omega)
+    u = rb_color_update(st, u, f, unknown, red, omega, sync)
+    u = rb_color_update(st, u, f, unknown, ~red, omega, sync)
     return u
 
 
@@ -130,22 +139,24 @@ def line_sweep(st: Stencil, u, f, unknown, axis: int):
 
 
 def smooth(st: Stencil, u, f, unknown, *, method: str = "jacobi",
-           sweeps: int = 2, omega: float = 0.8):
+           sweeps: int = 2, omega: float = 0.8, sync=None):
     """Run ``sweeps`` smoothing sweeps (static count -> unrolled/fori_loop)."""
     if method == "jacobi":
-        body = lambda _, u: jacobi_sweep(st, u, f, unknown, omega)
-    elif method in ("rbgs", "gauss_seidel", "red_black"):
-        body = lambda _, u: rbgs_sweep(st, u, f, unknown, omega)
-    elif method == "sor":
-        body = lambda _, u: rbgs_sweep(st, u, f, unknown, omega)
-    elif method == "line_x":
-        body = lambda _, u: line_sweep(st, u, f, unknown, 0)
-    elif method == "line_y":
-        body = lambda _, u: line_sweep(st, u, f, unknown, 1)
-    elif method == "adi":
-        # alternating-direction zebra lines: robust whichever axis is strong
-        body = lambda _, u: line_sweep(st, line_sweep(st, u, f, unknown, 1),
-                                       f, unknown, 0)
+        body = lambda _, u: jacobi_sweep(st, u, f, unknown, omega, sync)
+    elif method in ("rbgs", "gauss_seidel", "red_black", "sor"):
+        body = lambda _, u: rbgs_sweep(st, u, f, unknown, omega, sync)
+    elif method in ("line_x", "line_y", "adi"):
+        if sync is not None:
+            raise NotImplementedError(
+                "line smoothing across periodic axes needs cyclic "
+                "tridiagonal solves; use jacobi/rbgs for periodic problems")
+        if method == "line_x":
+            body = lambda _, u: line_sweep(st, u, f, unknown, 0)
+        elif method == "line_y":
+            body = lambda _, u: line_sweep(st, u, f, unknown, 1)
+        else:
+            body = lambda _, u: line_sweep(
+                st, line_sweep(st, u, f, unknown, 1), f, unknown, 0)
     else:
         raise ValueError(f"unknown smoother {method!r}")
     if sweeps <= 2:

@@ -88,9 +88,12 @@ def apply(st: Stencil, u):
     return st.c * u - neighbor_sum(st, u)
 
 
-def residual(st: Stencil, u, f, unknown):
+def residual(st: Stencil, u, f, unknown, sync=None):
     """r = f - A u, zeroed on fixed/padding nodes
-    (reference corrected_multigrid.py:279-294 zeroes the boundary the same way)."""
+    (reference corrected_multigrid.py:279-294 zeroes the boundary the same way).
+    ``sync`` refreshes periodic wrap ghosts before the neighbor reads."""
+    if sync is not None:
+        u = sync(u)
     r = f - apply(st, u)
     return jnp.where(unknown, r, jnp.zeros((), r.dtype))
 
@@ -112,14 +115,20 @@ def make_stencil(
     Robin adds 2*alpha/(beta*h) to the diagonal.
     """
     spec.validate()
-    if spec.any_periodic:
-        raise NotImplementedError("periodic BCs: planned (wrap-neighbor stencil)")
+    if spec.any_periodic and (grid.shape_padded[0] == grid.nx
+                              or grid.shape_padded[1] == grid.ny):
+        raise ValueError("periodic BCs need at least one padding line per "
+                         "axis to carry the wrap ghost")
     pshape = grid.shape_padded
     nx, ny = grid.nx, grid.ny
     ihx2 = 1.0 / (grid.hx * grid.hx)
     ihy2 = 1.0 / (grid.hy * grid.hy)
 
-    constant = a is None and spec.all_dirichlet and jnp.ndim(lam) == 0
+    plain_sides = all(
+        spec.side(s).kind in (BCKind.DIRICHLET, BCKind.PERIODIC)
+        for s in bc_mod.SIDES
+    )
+    constant = a is None and plain_sides and jnp.ndim(lam) == 0
     if constant:
         w = e = jnp.asarray(ihx2, dtype)
         s = n = jnp.asarray(ihy2, dtype)

@@ -59,7 +59,7 @@ def _restrict_interior_parity(rf, ncx, ncy, dtype, *, full: bool):
         ) / 16.0
     else:  # half weighting: [0 1 0; 1 4 1; 0 1 0]/8
         c = (4.0 * ee + oe + up(oe) + eo + lf(eo)) / 8.0
-    return c[1 : ncx - 1, 1 : ncy - 1]
+    return c
 
 
 def restrict(
@@ -71,8 +71,15 @@ def restrict(
     method: str = "full_weighting",
     boundary: str = "zero",
     dtype=None,
+    wrap=(False, False),
 ):
     """Fine -> coarse transfer.
+
+    ``wrap``: per-axis periodic flags. A wrapped axis includes the coarse ring
+    node 0 in the output (node nc-1 is the duplicate/ghost, left for the
+    level's periodic_sync); the caller must pass ``rf`` with its wrap ghosts
+    synced — the parity-plane rolls then read the correct seam neighbors from
+    the last padded line.
 
     methods (reference operators/transfer.py:53-148):
       full_weighting — 9-point [1 2 1; 2 4 2; 1 2 1]/16
@@ -96,17 +103,19 @@ def restrict(
     nfy_needed = 2 * (ncy - 1) + 1
     nfx_needed = 2 * (ncx - 1) + 1
 
+    i0 = 0 if wrap[0] else 1
+    j0 = 0 if wrap[1] else 1
+    out = jnp.zeros(pshape_coarse, dtype)
     if method == "injection":
         interior = _fine_window(rf, ncx, ncy, 0, 0)
-    elif method == "half_weighting":
-        interior = _restrict_interior_parity(rf, ncx, ncy, dtype, full=False)
-    elif method == "full_weighting":
-        interior = _restrict_interior_parity(rf, ncx, ncy, dtype, full=True)
+        out = out.at[1 : ncx - 1, 1 : ncy - 1].set(interior.astype(dtype))
+    elif method in ("half_weighting", "full_weighting"):
+        c = _restrict_interior_parity(rf, ncx, ncy, dtype,
+                                      full=method == "full_weighting")
+        out = out.at[i0 : ncx - 1, j0 : ncy - 1].set(
+            c[i0 : ncx - 1, j0 : ncy - 1].astype(dtype))
     else:
         raise ValueError(f"unknown restriction {method!r}")
-
-    out = jnp.zeros(pshape_coarse, dtype)
-    out = out.at[1 : ncx - 1, 1 : ncy - 1].set(interior.astype(dtype))
     if boundary == "inject":
         out = out.at[0, :ncy].set(rf[0, 0:nfy_needed:2].astype(dtype))
         out = out.at[ncx - 1, :ncy].set(rf[nfx_needed - 1, 0:nfy_needed:2].astype(dtype))

@@ -31,10 +31,13 @@ def _safe_div(num, den, tiny: float = 1e-300):
     return num / den
 
 
-def stencil_matvec(stencil, unknown):
-    """matvec for the masked stencil operator: zero off unknown nodes."""
+def stencil_matvec(stencil, unknown, sync=None):
+    """matvec for the masked stencil operator: zero off unknown nodes.
+    ``sync`` refreshes periodic wrap ghosts before the neighbor reads."""
 
     def mv(x):
+        if sync is not None:
+            x = sync(x)
         return jnp.where(unknown, st_mod.apply(stencil, x), jnp.zeros((), x.dtype))
 
     return mv

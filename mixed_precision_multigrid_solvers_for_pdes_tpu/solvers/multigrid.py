@@ -52,6 +52,13 @@ class Level:
             self.grid.nx, self.grid.ny, self.grid.shape_padded, self.spec
         )
 
+    @property
+    def sync(self):
+        """Periodic wrap-ghost refresher, or None (core/bc.periodic_sync)."""
+        return bc_mod.periodic_sync(
+            self.grid.nx, self.grid.ny, self.grid.shape_padded, self.spec
+        )
+
 
 jax.tree_util.register_dataclass(
     Level, data_fields=("stencil",), meta_fields=("grid", "spec", "dtype")
@@ -162,13 +169,25 @@ def _cycle(levels: Tuple[Level, ...], u, f, lvl: int, cfg: MultigridConfig,
         return _smooth(lev, u, f, coarse_cfg, cfg.coarse_sweeps)
 
     u = _smooth(lev, u, f, cfg, cfg.pre_sweeps)
-    r = st_mod.residual(lev.stencil, u, f, unknown)
+    sync = lev.sync
+    r = st_mod.residual(lev.stencil, u, f, unknown, sync)
 
     nxt = levels[lvl + 1]
-    boundary = "zero" if lev.spec.all_dirichlet else "reflect"
+    from ..core.bc import BCKind
+
+    wrap = (lev.spec.west.kind == BCKind.PERIODIC,
+            lev.spec.south.kind == BCKind.PERIODIC)
+    plain = all(
+        lev.spec.side(s).kind in (BCKind.DIRICHLET, BCKind.PERIODIC)
+        for s in bc_mod.SIDES
+    )
+    boundary = "zero" if plain else "reflect"
+    if any(wrap):
+        r = sync(r)  # wrap ghosts feed the restriction windows at the seam
     fc = transfer.restrict(
         r, nxt.grid.nx, nxt.grid.ny, nxt.grid.shape_padded,
         method=cfg.restriction, boundary=boundary, dtype=nxt.dtype,
+        wrap=wrap,
     )
     if constrain is not None:
         fc = constrain(fc, nxt)
@@ -190,6 +209,8 @@ def _cycle(levels: Tuple[Level, ...], u, f, lvl: int, cfg: MultigridConfig,
     else:
         raise ValueError(f"unknown cycle {cycle_type!r}")
 
+    if any(wrap):
+        ec = nxt.sync(ec)  # coarse dup node must mirror node 0 before interp
     e = transfer.prolong(
         ec, nxt.grid.nx, nxt.grid.ny, lev.grid.nx, lev.grid.ny,
         lev.grid.shape_padded, method=cfg.prolongation, dtype=lev.dtype,
@@ -259,7 +280,8 @@ def _solve_jit(levels, f, u0, cfg: MultigridConfig, use_fmg: bool,
     if use_fmg:
         u = fmg(levels, f, cfg)
 
-    r0 = st_mod.residual(lev0.stencil, u, f, unknown)
+    sync0 = lev0.sync
+    r0 = st_mod.residual(lev0.stencil, u, f, unknown, sync0)
     rnorm0 = norms.scaled_l2(r0, hx, hy)
     hist = jnp.full((cfg.max_iterations + 1,), jnp.nan, jnp.float64)
     hist = hist.at[0].set(rnorm0)
@@ -271,7 +293,7 @@ def _solve_jit(levels, f, u0, cfg: MultigridConfig, use_fmg: bool,
     def body(carry):
         u, k, rnorm, hist = carry
         u = mg_cycle(levels, u, f, cfg, constrain)
-        r = st_mod.residual(lev0.stencil, u, f, unknown)
+        r = st_mod.residual(lev0.stencil, u, f, unknown, sync0)
         rnorm = norms.scaled_l2(r, hx, hy)
         hist = hist.at[k + 1].set(rnorm)
         return (u, k + 1, rnorm, hist)
@@ -279,6 +301,8 @@ def _solve_jit(levels, f, u0, cfg: MultigridConfig, use_fmg: bool,
     u, k, rnorm, hist = jax.lax.while_loop(
         cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist)
     )
+    if sync0 is not None:
+        u = sync0(u)  # leave periodic duplicate nodes consistent for output
     # pack every statistic into ONE f64 buffer: each device->host readback
     # costs a full tunnel round-trip (~25 ms measured), so the host wrapper
     # must fetch exactly one array.
