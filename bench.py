@@ -40,13 +40,13 @@ def main():
     u0 = prob.initial_guess(jnp.float64)
 
     # warmup / compile
-    u, info = ir_solve(levels, f, u0, cfg, inner_cycles=2)
+    u, info = ir_solve(levels, f, u0, cfg, inner_cycles=2, use_fmg=True)
     assert info["converged"], info
 
     runs = 5
     t0 = time.time()
     for _ in range(runs):
-        u, info = ir_solve(levels, f, u0, cfg, inner_cycles=2)
+        u, info = ir_solve(levels, f, u0, cfg, inner_cycles=2, use_fmg=True)
     dt = (time.time() - t0) / runs
 
     dofs = (n - 2) ** 2

@@ -35,11 +35,13 @@ from . import multigrid as mg_mod
 from .multigrid import MultigridConfig, convergence_factor
 
 
-@partial(jax.jit, static_argnames=("cfg", "inner_cycles", "max_outer"))
+@partial(jax.jit, static_argnames=("cfg", "inner_cycles", "max_outer",
+                                   "use_fmg"))
 def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
-            max_outer: int):
+            max_outer: int, use_fmg: bool = False):
     lev0 = levels[0]
     unknown = lev0.unknown
+    sync0 = lev0.sync
     hx, hy = lev0.grid.hx, lev0.grid.hy
     lo = lev0.dtype
 
@@ -50,7 +52,12 @@ def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
         jnp.asarray(cfg.rtol), cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol
     )
 
-    r0 = st_mod.residual(st_hi, u, f, unknown)
+    if use_fmg:
+        # FMG gives a discretization-accurate start (~1.5 cycles of work),
+        # typically saving one-or-two outer refinements
+        u = u + mg_mod.fmg(levels, f.astype(lo), cfg).astype(jnp.float64)
+
+    r0 = st_mod.residual(st_hi, u, f, unknown, sync0)
     rnorm0 = norms.scaled_l2(r0, hx, hy)
     hist = jnp.full((max_outer + 1,), jnp.nan, jnp.float64)
     hist = hist.at[0].set(rnorm0)
@@ -61,14 +68,14 @@ def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
 
     def body(carry):
         u, k, rnorm, hist = carry
-        r = st_mod.residual(st_hi, u, f, unknown)
+        r = st_mod.residual(st_hi, u, f, unknown, sync0)
         # low-precision correction solve: A e = r, e0 = 0
         e = jnp.zeros(lev0.grid.shape_padded, lo)
         r_lo = r.astype(lo)
         for _ in range(inner_cycles):
             e = mg_mod.mg_cycle(levels, e, r_lo, cfg)
         u = jnp.where(unknown, u + e.astype(jnp.float64), u)
-        r = st_mod.residual(st_hi, u, f, unknown)
+        r = st_mod.residual(st_hi, u, f, unknown, sync0)
         rnorm = norms.scaled_l2(r, hx, hy)
         hist = hist.at[k + 1].set(rnorm)
         return (u, k + 1, rnorm, hist)
@@ -92,17 +99,20 @@ def ir_solve(
     *,
     inner_cycles: int = 1,
     max_outer: int = 100,
+    use_fmg: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Solve A u = f to fp64 accuracy with low-precision multigrid cycles.
 
     ``levels`` is a low-precision hierarchy (fp32/bf16/mixed); the fine-level
     operator is re-materialized in float64 for the outer residual.
+    ``use_fmg`` starts from a full-multigrid initial guess.
     """
     lev0 = levels[0]
     if u0 is None:
         u0 = jnp.zeros(lev0.grid.shape_padded, jnp.float64)
     st_hi = lev0.stencil.astype(jnp.float64)
-    u, packed = _ir_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer)
+    u, packed = _ir_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer,
+                        use_fmg)
     out = mg_mod._unpack_info(np.asarray(packed))
     out["method"] = "iterative_refinement"
     return u, out

@@ -13,11 +13,25 @@ Usage: python scripts/run_scaling.py [--mode weak|strong] [--base 513]
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# --platform must act before any jax device use (the environment's
+# sitecustomize pins jax_platforms; jax.config wins over it)
+_pre = argparse.ArgumentParser(add_help=False)
+_pre.add_argument("--platform", default=None)
+_pre_args, _ = _pre.parse_known_args()
+if _pre_args.platform:
+    if _pre_args.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+
+    jax.config.update("jax_platforms", _pre_args.platform)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -61,6 +75,9 @@ def time_cycles(mesh, n: int, k: int = 32, runs: int = 3) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("weak", "strong", "both"), default="both")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for the 8-device "
+                         "virtual mesh)")
     ap.add_argument("--base", type=int, default=513,
                     help="grid size at 1 device (weak) / fixed size (strong)")
     ap.add_argument("--out", default="reports")
