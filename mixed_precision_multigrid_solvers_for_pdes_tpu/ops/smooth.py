@@ -138,9 +138,54 @@ def line_sweep(st: Stencil, u, f, unknown, axis: int):
     return u
 
 
+def chebyshev_smooth(st: Stencil, u, f, unknown, *, degree: int = 3,
+                     sync=None, spectrum_fraction: float = 0.25):
+    """Degree-``degree`` Chebyshev polynomial smoother on the Jacobi-scaled
+    operator, targeting the upper spectrum [fraction*lmax, lmax].
+
+    Colorless (one global polynomial instead of red/black masks), so it has
+    no periodic-seam caveat and maps cleanly onto SPMD meshes — the "optimal
+    polynomial smoother" construction from the parallel-AMG literature
+    (Optimal Polynomial Smoothers for Parallel AMG, arXiv:2407.09848).
+    lmax = 2 is a Gershgorin bound for D^-1 A whenever c >= sum of couplings
+    (true for every SPD operator this framework builds).
+    """
+    dtype = u.dtype
+    lmax = 2.0
+    lmin = spectrum_fraction * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def dinv_a(x):
+        if sync is not None:
+            x = sync(x)
+        ax = st_mod.apply(st, x) / st.c
+        return jnp.where(unknown, ax, jnp.zeros((), dtype))
+
+    if sync is not None:
+        u = sync(u)
+    r = jnp.where(unknown, f - st_mod.apply(st, u), jnp.zeros((), dtype))
+    dinv_r = r / st.c
+    rho_old = 1.0 / sigma
+    z = (1.0 / theta) * dinv_r
+    d = z
+    for _ in range(degree - 1):
+        rho = 1.0 / (2.0 * sigma - rho_old)
+        d = (rho * rho_old) * d + (2.0 * rho / delta) * (dinv_r - dinv_a(z))
+        z = z + d
+        rho_old = rho
+    return jnp.where(unknown, u + z, u)
+
+
 def smooth(st: Stencil, u, f, unknown, *, method: str = "jacobi",
            sweeps: int = 2, omega: float = 0.8, sync=None):
     """Run ``sweeps`` smoothing sweeps (static count -> unrolled/fori_loop)."""
+    if method == "chebyshev":
+        # the sweep count is the polynomial degree: one pass, degree=2*sweeps
+        # costs the same stencil applies as `sweeps` RB-GS sweeps
+        return chebyshev_smooth(st, u, f, unknown, degree=2 * sweeps,
+                                sync=sync)
     if method == "jacobi":
         body = lambda _, u: jacobi_sweep(st, u, f, unknown, omega, sync)
     elif method in ("rbgs", "gauss_seidel", "red_black", "sor"):

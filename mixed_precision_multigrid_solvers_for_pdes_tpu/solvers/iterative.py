@@ -100,6 +100,7 @@ def iterative_solve(
             "line_x": 1.0,
             "line_y": 1.0,
             "adi": 1.0,
+            "chebyshev": 1.0,
         }[method]
     kernel = "jacobi" if method == "weighted_jacobi" else method
     if u0 is None:

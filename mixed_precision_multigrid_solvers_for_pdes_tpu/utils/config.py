@@ -83,7 +83,7 @@ class SolverConfig:
         if self.cycle not in ("V", "W", "F"):
             raise ValueError(f"unknown cycle {self.cycle!r}")
         if self.smoother not in ("jacobi", "rbgs", "sor", "gauss_seidel",
-                                 "red_black", "line_x", "line_y", "adi"):
+                                 "red_black", "line_x", "line_y", "adi", "chebyshev"):
             raise ValueError(f"unknown smoother {self.smoother!r}")
         if not (0.0 < self.omega < 2.0):
             raise ValueError("omega must be in (0, 2)")

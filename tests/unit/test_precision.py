@@ -83,6 +83,25 @@ def test_iterative_refinement_fp32_to_1e10():
     assert info["iterations"] <= 2 * info64["iterations"] + 2
 
 
+def test_iterative_refinement_with_fmg_start():
+    """FMG initialization must cut outer refinements without losing accuracy."""
+    prob = P.poisson_mms_sinsin(65)
+    levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float32", cfg=CFG)
+    cfg = CFG.replace(tol=1e-10)
+    u_plain, info_plain = ir_solve(levels, prob.rhs(jnp.float64),
+                                   prob.initial_guess(jnp.float64), cfg,
+                                   inner_cycles=2)
+    u_fmg, info_fmg = ir_solve(levels, prob.rhs(jnp.float64),
+                               prob.initial_guess(jnp.float64), cfg,
+                               inner_cycles=2, use_fmg=True)
+    assert info_fmg["converged"]
+    assert info_fmg["iterations"] <= info_plain["iterations"]
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(u_fmg), np.asarray(u_plain),
+                               atol=1e-9)
+
+
 def test_mixed_hierarchy_bf16_coarse():
     prob = P.poisson_mms_sinsin(65)
     levels = mg.build_hierarchy(
