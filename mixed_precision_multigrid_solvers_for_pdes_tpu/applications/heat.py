@@ -360,11 +360,20 @@ def solve_heat(
     (step-doubling Richardson, reference heat_equation.py:268-330)."""
     dtype = jnp.dtype(cfg.dtype)
     grid = problem.grid
-    levels0 = mg_mod.build_hierarchy(
-        grid, problem.spec, a=problem.a, lam=0.0, dtype=dtype, cfg=cfg.mg
-    )
+    # cache (hierarchy, step) per config on the problem: a fresh step closure
+    # per call would re-trigger _run_scan's static-arg compilation every call
+    cache = problem.__dict__.setdefault("_solver_cache", {})
+    key = (cfg.mg, cfg.scheme, cfg.theta, cfg.cycles_per_step, cfg.step_rtol,
+           cfg.max_cycles_per_step, dtype.name)
+    if key in cache:
+        levels0, step = cache[key]
+    else:
+        levels0 = mg_mod.build_hierarchy(
+            grid, problem.spec, a=problem.a, lam=0.0, dtype=dtype, cfg=cfg.mg
+        )
+        step = make_step_fn(problem, levels0, cfg)
+        cache[key] = (levels0, step)
     u0 = problem.initial_state(dtype)
-    step = make_step_fn(problem, levels0, cfg)
 
     if cfg.scheme == "explicit":
         limit = stability_limit_dt(
