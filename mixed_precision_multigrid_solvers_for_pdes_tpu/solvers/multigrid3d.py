@@ -192,6 +192,70 @@ def _solve3_jit(levels, f, u0, cfg: MultigridConfig):
     return u, jnp.concatenate([stats, hist])
 
 
+@partial(jax.jit, static_argnames=("cfg", "inner_cycles", "max_outer"))
+def _ir3_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
+             max_outer: int):
+    lev0 = levels[0]
+    unknown = lev0.unknown
+    g = lev0.grid
+    lo = lev0.dtype
+    f = f.astype(jnp.float64)
+    u = u0.astype(jnp.float64)
+    fnorm = _norm3(jnp.where(unknown, f, jnp.zeros((), f.dtype)), g)
+    tol_eff = jnp.where(jnp.asarray(cfg.rtol),
+                        cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol)
+    rnorm0 = _norm3(st3.residual(st_hi, u, f, unknown), g)
+    hist = jnp.full((max_outer + 1,), jnp.nan, jnp.float64)
+    hist = hist.at[0].set(rnorm0)
+
+    def cond(c):
+        _, k, rnorm, _ = c
+        return (rnorm > tol_eff) & (k < max_outer)
+
+    def body(c):
+        u, k, rnorm, hist = c
+        r = st3.residual(st_hi, u, f, unknown)
+        e = jnp.zeros(g.shape_padded, lo)
+        r_lo = r.astype(lo)
+        for _ in range(inner_cycles):
+            e = mg_cycle3d(levels, e, r_lo, cfg)
+        u = jnp.where(unknown, u + e.astype(jnp.float64), u)
+        rnorm = _norm3(st3.residual(st_hi, u, f, unknown), g)
+        hist = hist.at[k + 1].set(rnorm)
+        return (u, k + 1, rnorm, hist)
+
+    u, k, rnorm, hist = jax.lax.while_loop(
+        cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist))
+    stats = jnp.stack([
+        k.astype(jnp.float64), rnorm, rnorm0, fnorm,
+        (rnorm <= tol_eff).astype(jnp.float64),
+    ])
+    return u, jnp.concatenate([stats, hist])
+
+
+def ir_solve3d(
+    levels: Tuple[Level3D, ...],
+    f,
+    u0=None,
+    cfg: MultigridConfig = MultigridConfig(),
+    *,
+    inner_cycles: int = 2,
+    max_outer: int = 100,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """3D mixed-precision solve: fp64 outer residuals over low-precision
+    cycles (3D sibling of solvers.refinement.ir_solve)."""
+    lev0 = levels[0]
+    if u0 is None:
+        u0 = jnp.zeros(lev0.grid.shape_padded, jnp.float64)
+    st_hi = lev0.stencil.astype(jnp.float64)
+    u, packed = _ir3_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer)
+    from .multigrid import _unpack_info
+
+    out = _unpack_info(np.asarray(packed))
+    out["method"] = "iterative_refinement_3d"
+    return u, out
+
+
 def mg_solve3d(
     levels: Tuple[Level3D, ...],
     f,

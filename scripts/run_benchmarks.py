@@ -65,6 +65,34 @@ def heat_stepping_bench(n: int, n_steps: int) -> dict:
     }
 
 
+def poisson3d_bench(n: int, runs: int = 3) -> dict:
+    """3D mixed-precision solve (capability the reference stubbed,
+    reference applications/poisson_solver.py:483)."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems3d as P3
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid3d import (
+        build_hierarchy3d,
+        ir_solve3d,
+    )
+
+    prob = P3.poisson3d_mms_sinsinsin(n)
+    cfg = MultigridConfig(smoother="rbgs", omega=1.0, tol=1e-9)
+    levels = build_hierarchy3d(prob.grid, dtype="float32", cfg=cfg)
+    f = prob.rhs(jnp.float64)
+    u, info = ir_solve3d(levels, f, None, cfg)  # compile + converge check
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        u, info = ir_solve3d(levels, f, None, cfg)
+    wall = (time.perf_counter() - t0) / runs
+    return {
+        "n": n,
+        "wall_s": wall,
+        "dof_per_s": (n - 2) ** 3 / wall,
+        "iterations": info["iterations"],
+        "converged": info["converged"],
+        "error_l2": prob.error_norms(u)["l2"],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -88,6 +116,10 @@ def main():
     if not args.quick:
         heat.append(heat_stepping_bench(1025, 100))
     report["heat_stepping"] = heat
+
+    report["poisson3d"] = [poisson3d_bench(65 if args.quick else 129)]
+    if not args.quick:
+        report["poisson3d"].append(poisson3d_bench(257))
 
     if args.baselines:
         from mixed_precision_multigrid_solvers_for_pdes_tpu.validation import (
