@@ -3,8 +3,9 @@
 Replaces the reference's Python-loop ``RestrictionOperator`` /
 ``ProlongationOperator`` (reference operators/transfer.py:15,151) and the CUDA
 restriction/prolongation kernels (reference cuda_kernels.py:451-541) with
-vectorized strided-slice formulations that XLA maps onto the VPU. The fused
-Pallas variants live in ops/pallas_kernels/transfer.py.
+parity-plane / interleave-reshape formulations that XLA maps onto the VPU at
+full precision (see _restrict_interior_parity for the measured alternatives —
+stride-2 slicing and TPU convs both lose).
 
 Grids are padded; slicing operates on the logical region, and padding cells of
 outputs stay zero by construction. Coarse (ncx, ncy) relates to fine as

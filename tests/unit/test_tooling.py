@@ -161,6 +161,44 @@ class TestTheory:
         assert r["rho"] < 0.15, r["rho"]
 
 
+class TestBenchmarking:
+    def test_suite_runs_and_reports(self, tmp_path):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.benchmarking import (
+            BenchmarkSuite,
+        )
+
+        # fp32 relative-residual floor at these sizes is ~1e-5; stay above it
+        suite = BenchmarkSuite(P.poisson_mms_sinsin,
+                               CFG.replace(tol=1e-4, max_iterations=30))
+        suite.run(sizes=(17, 33), precisions=("fp32",), runs=1)
+        rep = suite.report()
+        assert len(rep["records"]) == 2
+        assert all(r["converged"] for r in rep["records"])
+        exp = rep["scaling_exponents"]["fp32"]
+        assert np.isfinite(exp)
+        md = suite.report_markdown()
+        assert "measured" in md
+        suite.save(tmp_path / "b.json")
+        assert (tmp_path / "b.json").exists()
+
+    def test_multigrid_profiler(self, tmp_path):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.benchmarking import (
+            MultigridProfiler,
+        )
+
+        prob = P.poisson_mms_sinsin(33)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float32",
+                                    cfg=CFG)
+        prof = MultigridProfiler(levels, CFG)
+        rec = prof.profile_level(0, runs=2)
+        assert "smooth" in rec and rec["smooth"]["min_s"] > 0
+        prof.profile_level(1, runs=2)
+        b = prof.bottlenecks()
+        assert b["cycle_estimate_s"] > 0 and b["dominant"]
+        prof.export(tmp_path / "prof.json")
+        assert (tmp_path / "prof.json").exists()
+
+
 class TestMMSValidator:
     def test_steady_validation_passes(self):
         v = MMSValidator(cfg=CFG)
