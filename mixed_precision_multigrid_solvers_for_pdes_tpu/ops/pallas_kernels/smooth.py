@@ -93,8 +93,13 @@ def multisweep(
     method: str = "rbgs",
     sweeps: int = 2,
     omega: float = 1.0,
+    interpret: bool = False,
 ):
-    """Run ``sweeps`` smoothing sweeps with the whole grid VMEM-resident."""
+    """Run ``sweeps`` smoothing sweeps with the whole grid VMEM-resident.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (any
+    backend) — used by CPU tests to pin the kernel's numerics against the
+    XLA smoother."""
     if jnp.ndim(st.c) != 0:
         raise ValueError("pallas multisweep requires a scalar (constant) stencil")
     params = jnp.stack(
@@ -114,4 +119,5 @@ def multisweep(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         input_output_aliases={0: 0},
+        interpret=interpret,
     )(u, f, params)
