@@ -61,7 +61,13 @@ def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
             nx=lev.grid.nx, ny=lev.grid.ny,
             method=method, sweeps=sweeps, omega=omega,
         )
+    from ..core.bc import BCKind
+
+    cyclic_axes = (
+        lev.grid.nx - 1 if lev.spec.west.kind == BCKind.PERIODIC else 0,
+        lev.grid.ny - 1 if lev.spec.south.kind == BCKind.PERIODIC else 0,
+    )
     return smooth_mod.smooth(
         stencil, u, f, lev.unknown, method=method, sweeps=sweeps, omega=omega,
-        sync=sync,
+        sync=sync, cyclic_axes=cyclic_axes,
     )

@@ -83,7 +83,8 @@ def rbgs_sweep(st: Stencil, u, f, unknown, omega=1.0, sync=None):
     return u
 
 
-def _line_update(st: Stencil, u, f, unknown, axis: int, color_mask):
+def _line_update(st: Stencil, u, f, unknown, axis: int, color_mask,
+                 sync=None, cyclic_n: int = 0):
     """Zebra line relaxation: exact tridiagonal solve along ``axis`` for the
     lines selected by ``color_mask``, cross-direction couplings lagged.
 
@@ -92,9 +93,16 @@ def _line_update(st: Stencil, u, f, unknown, axis: int, color_mask):
     (the reference had no line smoother — its anisotropic numbers came from
     the simulated path, reference benchmarks/validation_suite.py:256-300).
     Batched ``tridiagonal_solve`` maps every line onto one fused device op.
-    """
-    from .tridiag import tridiagonal_solve
 
+    ``sync`` refreshes periodic wrap ghosts before the lagged cross-direction
+    reads. ``cyclic_n > 0`` marks the LINE axis itself periodic with
+    ``cyclic_n`` unique nodes: the solve runs as a cyclic tridiagonal
+    (Sherman-Morrison over PCR) on the sliced core.
+    """
+    from .tridiag import cyclic_tridiagonal_solve, tridiagonal_solve
+
+    if sync is not None:
+        u = sync(u)
     dtype = u.dtype
     ones = jnp.ones(u.shape, dtype)
     c = st.c * ones
@@ -113,6 +121,20 @@ def _line_update(st: Stencil, u, f, unknown, axis: int, color_mask):
         hi_unknown = jnp.roll(unknown, -1, 0)
         lo_val, hi_val = shift_w(u), shift_e(u)
         lo_c, hi_c = st.w * ones, st.e * ones
+
+    if cyclic_n:
+        # periodic line axis: the cyclic system lives on the unique nodes
+        # 0..cyclic_n-1 (all unknowns along the line); corners wrap
+        sl = [slice(None)] * u.ndim
+        sl[axis] = slice(0, cyclic_n)
+        sl = tuple(sl)
+        z_core = cyclic_tridiagonal_solve(
+            (-lo_c)[sl], c[sl], (-hi_c)[sl], rhs[sl], axis=axis)
+        pad = [(0, 0)] * u.ndim
+        pad[axis] = (0, u.shape[axis] - cyclic_n)
+        z = jnp.pad(z_core, pad)
+        return jnp.where(color_mask & unknown, z, u)
+
     # couplings to FIXED line neighbors (Dirichlet ring values) move to the
     # rhs; couplings to unknown neighbors stay in the tridiagonal
     rhs = rhs + jnp.where(lo_unknown, zero, lo_c * lo_val)
@@ -128,13 +150,14 @@ def _line_update(st: Stencil, u, f, unknown, axis: int, color_mask):
     return jnp.where(color_mask & unknown, z, u)
 
 
-def line_sweep(st: Stencil, u, f, unknown, axis: int):
+def line_sweep(st: Stencil, u, f, unknown, axis: int, sync=None,
+               cyclic_n: int = 0):
     """One zebra line-GS sweep along ``axis`` (even lines, then odd)."""
     perp = 1 - axis
     idx = jax.lax.broadcasted_iota(jnp.int32, u.shape, perp)
     even = (idx & 1) == 0
-    u = _line_update(st, u, f, unknown, axis, even)
-    u = _line_update(st, u, f, unknown, axis, ~even)
+    u = _line_update(st, u, f, unknown, axis, even, sync, cyclic_n)
+    u = _line_update(st, u, f, unknown, axis, ~even, sync, cyclic_n)
     return u
 
 
@@ -179,8 +202,12 @@ def chebyshev_smooth(st: Stencil, u, f, unknown, *, degree: int = 3,
 
 
 def smooth(st: Stencil, u, f, unknown, *, method: str = "jacobi",
-           sweeps: int = 2, omega: float = 0.8, sync=None):
-    """Run ``sweeps`` smoothing sweeps (static count -> unrolled/fori_loop)."""
+           sweeps: int = 2, omega: float = 0.8, sync=None,
+           cyclic_axes=None):
+    """Run ``sweeps`` smoothing sweeps (static count -> unrolled/fori_loop).
+
+    ``cyclic_axes``: (nx_unique_or_0, ny_unique_or_0) — per-axis periodic
+    unique-node counts for the line smoothers (0 = not periodic)."""
     if method == "chebyshev":
         # the sweep count is the polynomial degree: one pass, degree=2*sweeps
         # costs the same stencil applies as `sweeps` RB-GS sweeps
@@ -191,17 +218,18 @@ def smooth(st: Stencil, u, f, unknown, *, method: str = "jacobi",
     elif method in ("rbgs", "gauss_seidel", "red_black", "sor"):
         body = lambda _, u: rbgs_sweep(st, u, f, unknown, omega, sync)
     elif method in ("line_x", "line_y", "adi"):
-        if sync is not None:
-            raise NotImplementedError(
-                "line smoothing across periodic axes needs cyclic "
-                "tridiagonal solves; use jacobi/rbgs for periodic problems")
+        # periodic axes: the line axis solves a cyclic tridiagonal system
+        # (Sherman-Morrison over PCR); cross-axis wraps come via sync
+        cyc_x = cyclic_axes[0] if cyclic_axes else 0
+        cyc_y = cyclic_axes[1] if cyclic_axes else 0
         if method == "line_x":
-            body = lambda _, u: line_sweep(st, u, f, unknown, 0)
+            body = lambda _, u: line_sweep(st, u, f, unknown, 0, sync, cyc_x)
         elif method == "line_y":
-            body = lambda _, u: line_sweep(st, u, f, unknown, 1)
+            body = lambda _, u: line_sweep(st, u, f, unknown, 1, sync, cyc_y)
         else:
             body = lambda _, u: line_sweep(
-                st, line_sweep(st, u, f, unknown, 1), f, unknown, 0)
+                st, line_sweep(st, u, f, unknown, 1, sync, cyc_y),
+                f, unknown, 0, sync, cyc_x)
     else:
         raise ValueError(f"unknown smoother {method!r}")
     if sweeps <= 2:

@@ -67,6 +67,54 @@ def pcr_solve(dl, d, du, b, axis: int = -1):
     return rhs / bb
 
 
+def cyclic_tridiagonal_solve(dl, d, du, b, axis: int = -1):
+    """Cyclic (periodic) batched tridiagonal solve via Sherman-Morrison.
+
+    System: dl_i x_{i-1} + d_i x_i + du_i x_{i+1} = b_i with indices mod n —
+    dl[0] couples x_0 to x_{n-1} and du[n-1] couples x_{n-1} to x_0. The
+    cyclic matrix is a tridiagonal plus a rank-1 update, so two PCR solves
+    and two line reductions give the exact answer (Sherman-Morrison; the
+    classic cyclic-tridiagonal recipe). Enables zebra line smoothing across
+    periodic axes.
+    """
+    axis = axis % b.ndim
+    n = b.shape[axis]
+    dtype = b.dtype
+    dl = jnp.broadcast_to(dl, b.shape).astype(dtype)
+    d = jnp.broadcast_to(d, b.shape).astype(dtype)
+    du = jnp.broadcast_to(du, b.shape).astype(dtype)
+
+    def line_first(x):
+        return jax.lax.index_in_dim(x, 0, axis, keepdims=True)
+
+    def line_last(x):
+        return jax.lax.index_in_dim(x, n - 1, axis, keepdims=True)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, b.shape, axis)
+    first = idx == 0
+    last = idx == n - 1
+
+    alpha = line_first(dl)      # x_0 <- x_{n-1} coupling
+    beta = line_last(du)        # x_{n-1} <- x_0 coupling
+    # gamma: any nonzero shift; -d_0 is the standard robust choice
+    gamma = -line_first(d)
+    gamma = jnp.where(jnp.abs(gamma) < 1e-30, jnp.full_like(gamma, 1.0), gamma)
+
+    d_mod = jnp.where(first, d - gamma, d)
+    d_mod = jnp.where(last, d_mod - alpha * beta / gamma, d_mod)
+    # u-vector of the rank-1 update: gamma at 0, beta at n-1
+    uvec = jnp.where(first, gamma, jnp.zeros((), dtype))
+    uvec = jnp.where(last, uvec + beta, uvec)
+
+    y = pcr_solve(dl, d_mod, du, b, axis)
+    z = pcr_solve(dl, d_mod, du, uvec, axis)
+    # v-vector: 1 at 0, alpha/gamma at n-1
+    vy = line_first(y) + (alpha / gamma) * line_last(y)
+    vz = line_first(z) + (alpha / gamma) * line_last(z)
+    factor = vy / (1.0 + vz)
+    return y - factor * z
+
+
 def tridiagonal_solve(dl, d, du, b, axis: int = -1):
     """Dispatch: PCR on TPU, LAPACK-backed lax solver elsewhere.
 

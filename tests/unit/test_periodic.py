@@ -110,6 +110,41 @@ class TestPeriodicSolve:
                                    atol=1e-8)
 
 
+class TestCyclicLines:
+    def test_cyclic_tridiagonal_exact(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.tridiag import (
+            cyclic_tridiagonal_solve,
+        )
+
+        rng = np.random.default_rng(0)
+        n = 31
+        dl = rng.standard_normal((4, n))
+        du = rng.standard_normal((4, n))
+        d = 5.0 + np.abs(dl) + np.abs(du)
+        b = rng.standard_normal((4, n))
+        x = np.asarray(cyclic_tridiagonal_solve(
+            jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du), jnp.asarray(b),
+            axis=-1))
+        for k in range(4):
+            A = (np.diag(d[k]) + np.diag(dl[k][1:], -1)
+                 + np.diag(du[k][:-1], 1))
+            A[0, n - 1] = dl[k][0]
+            A[n - 1, 0] = du[k][n - 1]
+            assert (np.linalg.norm(A @ x[k] - b[k])
+                    < 1e-10 * np.linalg.norm(b[k]))
+
+    def test_periodic_adi_multigrid(self):
+        """Line/ADI smoothing across periodic seams (cyclic tridiagonal via
+        Sherman-Morrison over PCR)."""
+        prob = P.periodic_helmholtz_mms(33)
+        cfg = CFG.replace(smoother="adi")
+        levels = mg.build_hierarchy(prob.grid, prob.spec, lam=prob.lam,
+                                    dtype="float64", cfg=cfg)
+        u, info = mg.mg_solve(levels, prob.rhs(jnp.float64), None, cfg)
+        assert info["converged"]
+        assert prob.error_norms(u)["l2"] < 5e-3
+
+
 class TestPeriodicHeat:
     def test_periodic_diffusion(self):
         from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
