@@ -241,6 +241,24 @@ def helmholtz_mms(n: int, k: float = 2.0) -> Problem:
     return prob
 
 
+def robin_test_problem(n: int, alpha: float = 1.0, beta: float = 1.0) -> Problem:
+    """u = x^2 + y^2, f = -4; Robin (alpha*u + beta*du/dn = g) on east,
+    Dirichlet elsewhere. g = alpha*(1 + y^2) + 2*beta at x = 1
+    (reference boundary_conditions/advanced_bc.py:139-180 Robin semantics)."""
+    grid = Grid(n, n)
+    spec = BoundarySpec(east=bc_mod.BCSide(kind=BCKind.ROBIN,
+                                           alpha=alpha, beta=beta))
+    _, Yp = grid.coordinates(padded=True)
+    g_east = alpha * (1.0 + Yp**2) + 2.0 * beta
+    return from_callables(
+        "poisson_robin_east", grid,
+        u_exact=lambda X, Y: X**2 + Y**2,
+        f=lambda X, Y: -4.0 + 0.0 * X,
+        spec=spec,
+        bc_values={"east": g_east},
+    )
+
+
 def periodic_helmholtz_mms(n: int) -> Problem:
     """Shifted Helmholtz -(lap u) + u = f, fully periodic on [0,1]^2:
     u = sin(2 pi x) cos(2 pi y), f = (8 pi^2 + 1) u. The +1 shift makes the
@@ -316,4 +334,5 @@ CATALOGUE = {
     "variable_coefficient": variable_coefficient_mms,
     "jump_coefficient": jump_coefficient_problem,
     "periodic_helmholtz": periodic_helmholtz_mms,
+    "robin_test": robin_test_problem,
 }

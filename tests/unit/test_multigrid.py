@@ -110,6 +110,26 @@ def test_neumann_mixed_bc():
     assert prob.error_norms(u)["l2"] < 1e-9
 
 
+def test_robin_bc():
+    """Robin (alpha*u + beta*du/dn = g) on the east side: the centered ghost
+    elimination is exact for quadratics, so u = x^2+y^2 solves to round-off
+    (reference advanced_bc.py:139-180 used one-sided differences — first
+    order; ours is second order)."""
+    import mixed_precision_multigrid_solvers_for_pdes_tpu as mg2
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.models import (
+        problems as P2,
+    )
+
+    for n in (17, 33):
+        prob = P2.robin_test_problem(n)
+        levels = mg2.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                     cfg=CFG)
+        u, info = mg2.mg_solve(levels, prob.rhs(jnp.float64),
+                               prob.initial_guess(jnp.float64), CFG)
+        assert info["converged"]
+        assert prob.error_norms(u)["l2"] < 1e-9
+
+
 def test_inhomogeneous_dirichlet():
     prob = P.poisson_mms_inhomogeneous(33)
     u, info = _solve(prob, CFG_RBGS)
