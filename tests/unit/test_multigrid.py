@@ -123,9 +123,9 @@ def test_robin_bc():
     for n in (17, 33):
         prob = P2.robin_test_problem(n)
         levels = mg2.build_hierarchy(prob.grid, prob.spec, dtype="float64",
-                                     cfg=CFG)
+                                     cfg=CFG_RBGS)
         u, info = mg2.mg_solve(levels, prob.rhs(jnp.float64),
-                               prob.initial_guess(jnp.float64), CFG)
+                               prob.initial_guess(jnp.float64), CFG_RBGS)
         assert info["converged"]
         assert prob.error_norms(u)["l2"] < 1e-9
 
