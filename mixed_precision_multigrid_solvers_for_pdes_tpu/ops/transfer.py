@@ -14,7 +14,9 @@ nf = 2*(nc-1)+1.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _fine_window(rf, ncx, ncy, d0, d1):
@@ -61,6 +63,37 @@ def _restrict_interior_parity(rf, ncx, ncy, dtype, *, full: bool):
     else:  # half weighting: [0 1 0; 1 4 1; 0 1 0]/8
         c = (4.0 * ee + oe + up(oe) + eo + lf(eo)) / 8.0
     return c
+
+
+def _restrict_interior_fine(rf, dtype, *, full: bool):
+    """Restriction as a fused fine-resolution weighted sum + 1x1 stride-2
+    conv downsample — the fastest exact formulation measured on v5e
+    (0.9 ms vs 2.0 ms for the parity reshape at 1025^2 -> 513^2, fp32).
+
+    The 9/5-point sum is pure fused rolls on the fine array; the downsample
+    is a single-product conv, which is exact at Precision.HIGHEST (the
+    default TPU conv precision quantizes operands to bf16 — measured 2.8e-3
+    relative error even for a 1x1 copy kernel). fp32/bf16 only (no f64 conv
+    on TPU); f64 takes the parity path.
+    """
+    rf = rf.astype(dtype)
+
+    def up(a, ax):
+        return jnp.roll(a, 1, ax)
+
+    def dn(a, ax):
+        return jnp.roll(a, -1, ax)
+
+    if full:  # separable [1 2 1] x [1 2 1] / 16
+        row = 2.0 * rf + up(rf, 0) + dn(rf, 0)
+        w = (2.0 * row + up(row, 1) + dn(row, 1)) / 16.0
+    else:  # [0 1 0; 1 4 1; 0 1 0] / 8
+        w = (4.0 * rf + up(rf, 0) + dn(rf, 0) + up(rf, 1) + dn(rf, 1)) / 8.0
+    k = jnp.ones((1, 1, 1, 1), dtype)
+    return jax.lax.conv_general_dilated(
+        w[None, None], k, (2, 2), "VALID",
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
 
 
 def restrict(
@@ -111,8 +144,11 @@ def restrict(
         interior = _fine_window(rf, ncx, ncy, 0, 0)
         out = out.at[1 : ncx - 1, 1 : ncy - 1].set(interior.astype(dtype))
     elif method in ("half_weighting", "full_weighting"):
-        c = _restrict_interior_parity(rf, ncx, ncy, dtype,
-                                      full=method == "full_weighting")
+        full = method == "full_weighting"
+        if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            c = _restrict_interior_fine(rf, dtype, full=full)
+        else:
+            c = _restrict_interior_parity(rf, ncx, ncy, dtype, full=full)
         out = out.at[i0 : ncx - 1, j0 : ncy - 1].set(
             c[i0 : ncx - 1, j0 : ncy - 1].astype(dtype))
     else:
@@ -178,29 +214,31 @@ def prolong(
         return out.at[0:nfx:2, 0:nfy:2].set(c)
     if method != "bilinear":
         raise ValueError(f"unknown prolongation {method!r}")
-    # Interleave-reshape formulation: build the four fine parities over coarse
-    # cells, then merge them with stack+reshape. 6x faster on TPU than four
-    # stride-2 scatters (lane interleave vs scatter; measured 0.94ms vs 5.6ms
-    # at 513->1025 fp32 on v5e), and bit-identical.
+    # Repeat+parity-select formulation: nearest-repeat each of the four
+    # averaged fields to fine resolution, then pick by fine-index parity.
+    # Measured 5x faster than the earlier interleave-reshape on v5e (0.16 ms
+    # vs 0.75 ms at 513->1025 fp32: jnp.repeat lowers to a broadcast, the
+    # stack+reshape interleave forced a tiled-layout shuffle); arithmetic is
+    # identical. Rolls read one cell past (ncx, ncy), which is padding or the
+    # synced periodic duplicate — those fine nodes are >= nf and sliced away.
     half = jnp.asarray(0.5, dtype)
     quarter = jnp.asarray(0.25, dtype)
-    tl = c[:-1, :-1]                                   # fine (2i,   2j)
-    tr = half * (c[:-1, :-1] + c[:-1, 1:])             # fine (2i,   2j+1)
-    bl = half * (c[:-1, :-1] + c[1:, :-1])             # fine (2i+1, 2j)
-    br = quarter * (c[:-1, :-1] + c[1:, :-1] + c[:-1, 1:] + c[1:, 1:])
-    blk = jnp.stack(
-        [jnp.stack([tl, tr], axis=-1), jnp.stack([bl, br], axis=-1)], axis=1
-    )  # (ncx-1, 2, ncy-1, 2)
-    body = blk.reshape(2 * (ncx - 1), 2 * (ncy - 1))
-    # last fine row (coincides with the coarse north/east edges)
-    last_row = jnp.stack(
-        [c[-1:, :-1], half * (c[-1:, :-1] + c[-1:, 1:])], axis=-1
-    ).reshape(1, 2 * (ncy - 1))
-    body = jnp.concatenate([body, last_row], axis=0)   # (nfx, nfy-1)
-    last_col = jnp.stack(
-        [c[:-1, -1:], half * (c[:-1, -1:] + c[1:, -1:])], axis=1
-    ).reshape(2 * (ncx - 1), 1)
-    last_col = jnp.concatenate([last_col, c[-1:, -1:]], axis=0)  # (nfx, 1)
-    body = jnp.concatenate([body, last_col], axis=1)   # (nfx, nfy)
+    rt = jnp.roll(ec, -1, 1)[:ncx, :ncy].astype(dtype)     # c[i, j+1]
+    dn = jnp.roll(ec, -1, 0)[:ncx, :ncy].astype(dtype)     # c[i+1, j]
+    drt = jnp.roll(jnp.roll(ec, -1, 0), -1, 1)[:ncx, :ncy].astype(dtype)
+
+    def rep2(a):
+        return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+
+    base = rep2(c)                                 # fine (2i,   2j)
+    right = rep2(half * (c + rt))                  # fine (2i,   2j+1)
+    down = rep2(half * (c + dn))                   # fine (2i+1, 2j)
+    diag = rep2(quarter * (c + dn + rt + drt))     # fine (2i+1, 2j+1)
+    i = jax.lax.broadcasted_iota(jnp.int32, base.shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, base.shape, 1)
+    oi = (i & 1) == 1
+    oj = (j & 1) == 1
+    fine = jnp.where(oi & oj, diag,
+                     jnp.where(oi, down, jnp.where(oj, right, base)))
     out = jnp.zeros(pshape_fine, dtype)
-    return out.at[:nfx, :nfy].set(body)
+    return out.at[:nfx, :nfy].set(fine[:nfx, :nfy])
