@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import itertools
 
+import jax
 import jax.numpy as jnp
 
 
@@ -40,6 +41,24 @@ def _restrict_interior_parity3(rf, ncx, ncy, ncz, dtype):
     return c[1 : ncx - 1, 1 : ncy - 1, 1 : ncz - 1]
 
 
+def _restrict_interior_fine3(rf, dtype):
+    """27-point full weighting as a fused separable sum at fine resolution +
+    1x1x1 stride-2 conv downsample at Precision.HIGHEST (see the 2D version
+    in transfer.py: 2x faster than the parity reshape, exact; the default
+    TPU conv precision quantizes to bf16 even for a copy kernel)."""
+    rf = rf.astype(dtype)
+
+    def tri(a, ax):
+        return 2.0 * a + jnp.roll(a, 1, ax) + jnp.roll(a, -1, ax)
+
+    w = tri(tri(tri(rf, 0), 1), 2) / 64.0
+    k = jnp.ones((1, 1, 1, 1, 1), dtype)
+    return jax.lax.conv_general_dilated(
+        w[None, None], k, (2, 2, 2), "VALID",
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+
+
 def _fine_window3(rf, ncx, ncy, ncz, d0, d1, d2):
     return rf[
         2 + d0 : 2 * (ncx - 2) + d0 + 1 : 2,
@@ -56,7 +75,11 @@ def restrict3d(rf, ncx: int, ncy: int, ncz: int, pshape_coarse, *,
     if method == "injection":
         interior = _fine_window3(rf, ncx, ncy, ncz, 0, 0, 0)
     elif method == "full_weighting":
-        interior = _restrict_interior_parity3(rf, ncx, ncy, ncz, dtype)
+        if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            c = _restrict_interior_fine3(rf, dtype)
+            interior = c[1 : ncx - 1, 1 : ncy - 1, 1 : ncz - 1]
+        else:
+            interior = _restrict_interior_parity3(rf, ncx, ncy, ncz, dtype)
     else:
         raise ValueError(f"unknown restriction {method!r}")
     out = jnp.zeros(pshape_coarse, dtype)
