@@ -145,7 +145,12 @@ def restrict(
         out = out.at[1 : ncx - 1, 1 : ncy - 1].set(interior.astype(dtype))
     elif method in ("half_weighting", "full_weighting"):
         full = method == "full_weighting"
-        if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        # conv downsample path: TPU + fp32/bf16 only. On the XLA:CPU backend
+        # the f32 stride-2 conv fatally crashed inside a fused while_loop
+        # (AOT kernel/feature mismatch on this host); CPU keeps parity planes.
+        if (jax.default_backend() == "tpu"
+                and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
+                                         jnp.dtype(jnp.bfloat16))):
             c = _restrict_interior_fine(rf, dtype, full=full)
         else:
             c = _restrict_interior_parity(rf, ncx, ncy, dtype, full=full)

@@ -75,7 +75,10 @@ def restrict3d(rf, ncx: int, ncy: int, ncz: int, pshape_coarse, *,
     if method == "injection":
         interior = _fine_window3(rf, ncx, ncy, ncz, 0, 0, 0)
     elif method == "full_weighting":
-        if jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        # conv path TPU-only (see ops/transfer.py: XLA:CPU f32 conv crash)
+        if (jax.default_backend() == "tpu"
+                and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
+                                         jnp.dtype(jnp.bfloat16))):
             c = _restrict_interior_fine3(rf, dtype)
             interior = c[1 : ncx - 1, 1 : ncy - 1, 1 : ncz - 1]
         else:
