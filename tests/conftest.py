@@ -25,10 +25,12 @@ import pytest  # noqa: E402
 # suite really runs on the 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the solve graphs are compile-heavy on the CPU
-# backend; cache across test runs and xdist workers.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache. This host can migrate mid-session,
+# and stale XLA:CPU AOT entries compiled for the previous machine's
+# instruction set caused random SIGSEGV/SIGILL at cache-hit sites (the
+# loader warns "machine feature +prefer-no-scatter is not supported ...
+# could lead to execution errors such as SIGILL"). In-process compilation
+# always targets the current host.
 
 
 # Tolerances per working precision (reference tests/__init__.py:27-35)
