@@ -45,3 +45,16 @@ TEST_CONFIG = {
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the number of live compiled XLA:CPU executables.
+
+    Single-process full-suite runs intermittently segfaulted inside XLA:CPU
+    dispatch once ~130 jitted programs had accumulated (sites varied between
+    runs; every test passes in smaller batches). Dropping the compilation
+    caches at module boundaries keeps the executable population small. Costs
+    recompiles of shared graphs across modules (~1.3x wall time)."""
+    yield
+    jax.clear_caches()
