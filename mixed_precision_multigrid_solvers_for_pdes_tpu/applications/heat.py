@@ -70,6 +70,16 @@ class HeatConfig:
             raise ValueError(f"unknown scheme {self.scheme!r}; one of {SCHEMES}")
         if self.scheme == "theta" and not (0.0 < self.theta <= 1.0):
             raise ValueError("theta must be in (0, 1]")
+        if self.adaptive_dt and self.scheme == "bdf2":
+            # Uniform-step BDF2 coefficients (3,-4,1)/(2dt) are wrong when
+            # u_prev sits a *different* dt back, and the step-doubling
+            # controller's Richardson exponent assumes a consistent one-step
+            # method. Use crank_nicolson (also order 2) for adaptive runs.
+            raise ValueError(
+                "adaptive_dt is not supported with scheme='bdf2' (variable-"
+                "step BDF2 needs history-dependent coefficients); use "
+                "scheme='crank_nicolson' for adaptive order-2 stepping"
+            )
 
     @property
     def effective_theta(self) -> float:

@@ -79,6 +79,14 @@ def solve_heat3d(
     cfg: HeatConfig = HeatConfig(),
 ) -> Dict[str, Any]:
     """Fixed-dt integration under one lax.scan (theta schemes + explicit)."""
+    if cfg.scheme not in ("explicit", "backward_euler", "crank_nicolson",
+                          "theta"):
+        # 3D has no BDF2 path yet; refuse rather than silently running the
+        # theta method at cfg.theta (which would masquerade as BDF2).
+        raise ValueError(
+            f"solve_heat3d does not support scheme={cfg.scheme!r}; "
+            "use explicit/backward_euler/crank_nicolson/theta"
+        )
     dtype = jnp.dtype(cfg.dtype)
     grid = problem.grid
     alpha = problem.alpha

@@ -141,8 +141,12 @@ def restrict(
     j0 = 0 if wrap[1] else 1
     out = jnp.zeros(pshape_coarse, dtype)
     if method == "injection":
-        interior = _fine_window(rf, ncx, ncy, 0, 0)
-        out = out.at[1 : ncx - 1, 1 : ncy - 1].set(interior.astype(dtype))
+        # Even-even parity plane IS injection (ee[i, j] = rf[2i, 2j]): avoids
+        # lane-dim stride-2 slicing AND honors the periodic seam origin i0/j0
+        # (a plain [1:nc-1] window silently dropped the wrapped seam node 0).
+        px, py = rf.shape
+        ee = rf.astype(dtype).reshape(px // 2, 2, py // 2, 2)[:, 0, :, 0]
+        out = out.at[i0 : ncx - 1, j0 : ncy - 1].set(ee[i0 : ncx - 1, j0 : ncy - 1])
     elif method in ("half_weighting", "full_weighting"):
         full = method == "full_weighting"
         # conv downsample path: TPU + fp32/bf16 only. On the XLA:CPU backend

@@ -95,6 +95,14 @@ def shard_smooth(
     if px % mx or py % my:
         raise ValueError(f"padded shape {(px, py)} not divisible by mesh "
                          f"{(mx, my)}")
+    if lev.spec.any_periodic:
+        # Periodic specs keep a scalar stencil, but _with_halo zero-fills
+        # mesh-edge halos (no wrap ppermute) and _global_masks has no PERIODIC
+        # branch — silently wrong answers. Periodic runs take the GSPMD path
+        # (parallel/distributed.py) or the full-solve path in halo_solve.py.
+        raise NotImplementedError(
+            "shard_smooth: periodic BCs are not supported on the explicit "
+            "halo path; use the GSPMD path")
     bx, by = px // mx, py // my
     st = lev.stencil
     if jnp.ndim(st.c) != 0:
@@ -151,6 +159,10 @@ def global_residual_norm(mesh: Mesh, lev: Level, u, f):
     my = mesh.shape["y"]
     px, py = lev.grid.shape_padded
     bx, by = px // mx, py // my
+    if lev.spec.any_periodic:
+        raise NotImplementedError(
+            "global_residual_norm: periodic BCs are not supported on the "
+            "explicit halo path; use the GSPMD path")
     st = lev.stencil
     hx, hy = lev.grid.hx, lev.grid.hy
 

@@ -34,9 +34,15 @@ class CheckpointManager:
         return self.dir / f"ckpt_{step:012d}.npz"
 
     def all_steps(self) -> List[int]:
-        return sorted(
-            int(p.stem.split("_")[1]) for p in self.dir.glob("ckpt_*.npz")
-        )
+        steps = []
+        for p in self.dir.glob("ckpt_*.npz"):
+            # Skip anything whose stem doesn't parse as ckpt_<int> (e.g. a
+            # stray temp file from a crashed save) instead of breaking every
+            # subsequent save/restore with a ValueError.
+            tail = p.stem.split("_", 1)[1]
+            if tail.isdigit():
+                steps.append(int(tail))
+        return sorted(steps)
 
     def latest_step(self) -> Optional[int]:
         steps = self.all_steps()
@@ -52,9 +58,13 @@ class CheckpointManager:
         meta.setdefault("step", step)
         meta.setdefault("saved_at", time.time())
         path = self._path(step)
-        tmp = path.with_suffix(".tmp.npz")
-        np.savez(tmp, **host, __meta__=np.frombuffer(
-            json.dumps(meta).encode(), dtype=np.uint8))
+        # Dotfile temp name: never matches the ckpt_*.npz glob, so a crash
+        # between write and rename can't poison all_steps(). np.savez appends
+        # ".npz" to bare paths, so write through an explicit file handle.
+        tmp = self.dir / f".ckpt_{step:012d}.npz.tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **host, __meta__=np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8))
         os.replace(tmp, path)
         self._retain()
         return path
