@@ -14,6 +14,8 @@ nf = 2*(nc-1)+1.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,16 +67,72 @@ def _restrict_interior_parity(rf, ncx, ncy, dtype, *, full: bool):
     return c
 
 
-def _restrict_interior_fine(rf, dtype, *, full: bool):
-    """Restriction as a fused fine-resolution weighted sum + 1x1 stride-2
-    conv downsample — the fastest exact formulation measured on v5e
-    (0.9 ms vs 2.0 ms for the parity reshape at 1025^2 -> 513^2, fp32).
+@lru_cache(maxsize=None)
+def _decim_matrix(nfine_p: int, ncoarse_p: int):
+    """0/1 lane-decimation matrix D with D[2j, j] = 1 (host-built constant).
 
-    The 9/5-point sum is pure fused rolls on the fine array; the downsample
-    is a single-product conv, which is exact at Precision.HIGHEST (the
-    default TPU conv precision quantizes operands to bf16 — measured 2.8e-3
-    relative error even for a 1x1 copy kernel). fp32/bf16 only (no f64 conv
-    on TPU); f64 takes the parity path.
+    Lane-dimension decimation through the MXU: every XLA alternative
+    (stride-2 conv, stride-2 slice, lane-dim reshape) triggers a
+    catastrophic relayout when the result must be MATERIALIZED — measured
+    ~700 us for a 1025^2 -> 513^2 restrict inside a V-cycle vs ~50 us for
+    the matmul form (scripts/transfer_microbench.py, scripts/cycle_deltas.py).
+    Kept in fp32: the entries are exact in bf16, so Precision.HIGHEST gives
+    bit-exact selection of fp32 operands.
+    """
+    D = np.zeros((nfine_p, ncoarse_p), np.float32)
+    j = np.arange(ncoarse_p)
+    keep = 2 * j < nfine_p
+    D[2 * j[keep], j[keep]] = 1.0
+    return D  # numpy: caching a jnp array made inside a trace leaks tracers
+
+
+@lru_cache(maxsize=None)
+def _interp_matrix(ncoarse_p: int, nfine_p: int, nf: int):
+    """Bilinear interpolation matrix E: E[j, 2j]=1, E[j, 2j+-1]=1/2.
+
+    Columns >= ``nf`` (fine padding) are zero, so the matmul output is
+    already clean in the padded region — no post-masking pass needed."""
+    E = np.zeros((ncoarse_p, nfine_p), np.float32)
+    for j in range(ncoarse_p):
+        for p, wgt in ((2 * j, 1.0), (2 * j + 1, 0.5), (2 * j - 1, 0.5)):
+            if 0 <= p < min(nfine_p, nf):
+                E[j, p] = wgt
+    return E  # numpy: caching a jnp array made inside a trace leaks tracers
+
+
+def _prolong_matmul(ec, ncx, ncy, nfx, nfy, pshape_fine, dtype):
+    """Bilinear prolongation as two MXU matmuls (Ex^T @ ec @ Ey).
+
+    Measured ~81 us materialized at 513 -> 1025 fp32 vs ~158 us for the
+    repeat+parity-select path (scripts/transfer_microbench.py); exact to fp32
+    rounding (weights 1 and 1/2 are bf16-exact, Precision.HIGHEST). The
+    arithmetic matches the repeat+parity-select formulation node-for-node,
+    including the periodic-seam convention (padded line pyc-1 only feeds
+    fine columns >= nf, which the nf cutoff zeroes).
+    """
+    pxc, pyc = ec.shape
+    pxf, pyf = pshape_fine
+    Ex = jnp.asarray(_interp_matrix(pxc, pxf, nfx), dtype)
+    Ey = jnp.asarray(_interp_matrix(pyc, pyf, nfy), dtype)
+    HIGH = jax.lax.Precision.HIGHEST
+    tall = jax.lax.dot_general(               # (pxf, pyc) = Ex^T @ ec
+        Ex, ec.astype(dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())), precision=HIGH,
+    )
+    return jnp.dot(tall, Ey, precision=HIGH)
+
+
+def _restrict_interior_fine(rf, dtype, *, full: bool):
+    """Restriction as a fused fine-resolution weighted sum + sublane-reshape
+    x-decimation + MXU-matmul y-decimation — the fastest exact formulation
+    measured on v5e (~50 us materialized at 1025^2 -> 513^2 fp32, vs ~700 us
+    for the round-1 stride-2 HIGHEST conv and ~2 ms for the parity reshape).
+
+    The 9/5-point sum is pure fused rolls on the fine array (BW-bound). The
+    x (sublane) decimation is a legal sublane split-reshape; the y (lane)
+    decimation is a matmul against a 0/1 selection matrix at
+    Precision.HIGHEST, which is exact for fp32 operands. fp64 takes the
+    parity path (no f64 MXU on TPU).
     """
     rf = rf.astype(dtype)
 
@@ -89,11 +147,10 @@ def _restrict_interior_fine(rf, dtype, *, full: bool):
         w = (2.0 * row + up(row, 1) + dn(row, 1)) / 16.0
     else:  # [0 1 0; 1 4 1; 0 1 0] / 8
         w = (4.0 * rf + up(rf, 0) + dn(rf, 0) + up(rf, 1) + dn(rf, 1)) / 8.0
-    k = jnp.ones((1, 1, 1, 1), dtype)
-    return jax.lax.conv_general_dilated(
-        w[None, None], k, (2, 2), "VALID",
-        precision=jax.lax.Precision.HIGHEST,
-    )[0, 0]
+    pxf, pyf = w.shape
+    w2 = w.reshape(pxf // 2, 2, pyf)[:, 0, :]          # sublane decimation
+    D = jnp.asarray(_decim_matrix(pyf, pyf // 2), dtype)
+    return jnp.dot(w2, D, precision=jax.lax.Precision.HIGHEST)
 
 
 def restrict(
@@ -223,6 +280,10 @@ def prolong(
         return out.at[0:nfx:2, 0:nfy:2].set(c)
     if method != "bilinear":
         raise ValueError(f"unknown prolongation {method!r}")
+    if (jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
+                                     jnp.dtype(jnp.bfloat16))):
+        return _prolong_matmul(ec, ncx, ncy, nfx, nfy, pshape_fine, dtype)
     # Repeat+parity-select formulation: nearest-repeat each of the four
     # averaged fields to fine resolution, then pick by fine-index parity.
     # Measured 5x faster than the earlier interleave-reshape on v5e (0.16 ms

@@ -103,3 +103,40 @@ def test_padding_stays_zero():
         transfer.prolong(ec, gc.nx, gc.ny, gf.nx, gf.ny, gf.shape_padded)
     )
     assert np.all(ef[gf.nx :, :] == 0) and np.all(ef[:, gf.ny :] == 0)
+
+
+def test_mxu_restrict_matches_parity_path():
+    """The TPU fast path (sublane reshape + MXU selection matmul) must agree
+    with the parity-plane ground truth to fp32 rounding. Runs the private
+    functions directly so the CPU suite covers the TPU-only dispatch branch."""
+    gf, gc = _grids(129)
+    pxf, pyf = gf.shape_padded
+    rng = np.random.default_rng(7)
+    rf = np.zeros((pxf, pyf), np.float32)
+    rf[: gf.nx, : gf.ny] = rng.standard_normal((gf.nx, gf.ny))
+    rf = jnp.asarray(rf)
+    for full in (True, False):
+        a = np.asarray(transfer._restrict_interior_fine(
+            rf, jnp.float32, full=full))
+        b = np.asarray(transfer._restrict_interior_parity(
+            rf, gc.nx, gc.ny, jnp.float32, full=full))
+        sl = np.s_[1 : gc.nx - 1, 1 : gc.ny - 1]
+        assert np.max(np.abs(a[sl] - b[sl])) < 1e-6
+
+
+def test_mxu_prolong_matches_repeat_path():
+    gf, gc = _grids(129)
+    pxf, pyf = gf.shape_padded
+    pxc, pyc = gc.shape_padded
+    rng = np.random.default_rng(8)
+    ec = np.zeros((pxc, pyc), np.float32)
+    ec[: gc.nx, : gc.ny] = rng.standard_normal((gc.nx, gc.ny))
+    ec = jnp.asarray(ec)
+    pm = np.asarray(transfer._prolong_matmul(
+        ec, gc.nx, gc.ny, gf.nx, gf.ny, (pxf, pyf), jnp.float32))
+    pr = np.asarray(transfer.prolong(
+        ec, gc.nx, gc.ny, gf.nx, gf.ny, (pxf, pyf)))
+    assert np.max(np.abs(pm - pr)) < 1e-6
+    # padding must stay clean without a post-masking pass
+    assert np.max(np.abs(pm[gf.nx:, :])) == 0.0
+    assert np.max(np.abs(pm[:, gf.ny:])) == 0.0
