@@ -191,68 +191,74 @@ def restrict(
                   multilevel cycle diverges.
     """
     dtype = dtype or rf.dtype
-    nfy_needed = 2 * (ncy - 1) + 1
-    nfx_needed = 2 * (ncx - 1) + 1
+    px, py = rf.shape
+    pxc, pyc = pshape_coarse
 
-    i0 = 0 if wrap[0] else 1
-    j0 = 0 if wrap[1] else 1
-    out = jnp.zeros(pshape_coarse, dtype)
+    # SPMD-SAFETY NOTE: an earlier version wrote ring values with chained
+    # row/column `.at[].set` scatters fed by stride-2 1D gathers. Under a
+    # GSPMD sharding constraint the XLA:CPU partitioner MISCOMPILED that
+    # program (interior coarse values off by O(1); measured rho 0.053 -> 0.39
+    # on the Neumann MMS problem). This formulation keeps exactly one
+    # `.at[].set` per produced array and merges with iota-mask `where`s,
+    # which partitions correctly (verified against the single-device and
+    # explicit-shard_map paths).
+    if boundary == "reflect":
+        # Install reflected values in the padding so the standard interior
+        # machinery yields the fold at ring nodes: out-of-domain window
+        # positions read gi = -1 -> row px-1 (set to row 1) and gi = nx
+        # (set to row nx-2); x first, then y, composes to the 2x2-mean
+        # corner rule. nx here is the finest row any window reads
+        # (nfx_needed == nx for standard coarsening).
+        nfx_n = 2 * (ncx - 1) + 1
+        nfy_n = 2 * (ncy - 1) + 1
+        gi = jax.lax.broadcasted_iota(jnp.int32, (px, py), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (px, py), 1)
+        if not wrap[0]:
+            rf = jnp.where(gi == px - 1, jnp.roll(rf, -2, 0), rf)
+            rf = jnp.where(gi == nfx_n, jnp.roll(rf, 2, 0), rf)
+        if not wrap[1]:
+            rf = jnp.where(gj == py - 1, jnp.roll(rf, -2, 1), rf)
+            rf = jnp.where(gj == nfy_n, jnp.roll(rf, 2, 1), rf)
+
+    def place(arr2):
+        """(px//2-ish, py//2-ish) coarse-indexed values -> pshape_coarse."""
+        z = jnp.zeros(pshape_coarse, dtype)
+        mx = min(arr2.shape[0], pxc)
+        my = min(arr2.shape[1], pyc)
+        return z.at[:mx, :my].set(arr2[:mx, :my].astype(dtype))
+
     if method == "injection":
         # Even-even parity plane IS injection (ee[i, j] = rf[2i, 2j]): avoids
-        # lane-dim stride-2 slicing AND honors the periodic seam origin i0/j0
+        # lane-dim stride-2 slicing AND honors the periodic seam origin
         # (a plain [1:nc-1] window silently dropped the wrapped seam node 0).
-        px, py = rf.shape
-        ee = rf.astype(dtype).reshape(px // 2, 2, py // 2, 2)[:, 0, :, 0]
-        out = out.at[i0 : ncx - 1, j0 : ncy - 1].set(ee[i0 : ncx - 1, j0 : ncy - 1])
+        c = rf.astype(dtype).reshape(px // 2, 2, py // 2, 2)[:, 0, :, 0]
     elif method in ("half_weighting", "full_weighting"):
         full = method == "full_weighting"
-        # conv downsample path: TPU + fp32/bf16 only. On the XLA:CPU backend
-        # the f32 stride-2 conv fatally crashed inside a fused while_loop
-        # (AOT kernel/feature mismatch on this host); CPU keeps parity planes.
         if (jax.default_backend() == "tpu"
                 and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
                                          jnp.dtype(jnp.bfloat16))):
             c = _restrict_interior_fine(rf, dtype, full=full)
         else:
             c = _restrict_interior_parity(rf, ncx, ncy, dtype, full=full)
-        out = out.at[i0 : ncx - 1, j0 : ncy - 1].set(
-            c[i0 : ncx - 1, j0 : ncy - 1].astype(dtype))
     else:
         raise ValueError(f"unknown restriction {method!r}")
-    if boundary == "inject":
-        out = out.at[0, :ncy].set(rf[0, 0:nfy_needed:2].astype(dtype))
-        out = out.at[ncx - 1, :ncy].set(rf[nfx_needed - 1, 0:nfy_needed:2].astype(dtype))
-        out = out.at[:ncx, 0].set(rf[0:nfx_needed:2, 0].astype(dtype))
-        out = out.at[:ncx, ncy - 1].set(rf[0:nfx_needed:2, nfy_needed - 1].astype(dtype))
-    elif boundary == "reflect":
-        nfx, nfy = nfx_needed, nfy_needed
+    cpad = place(c)
 
-        def tang(row0, row1, n_tan):
-            # folded normal weights [2, 2]/16, tangential [1, 2, 1]:
-            # value_j = sum_d (2-|d|)/8 * (row0[2j+d] + row1[2j+d]), j=1..n-2
-            def sl(r, d):
-                return r[2 + d : 2 * (n_tan - 2) + d + 1 : 2]
-
-            acc = None
-            for d in (-1, 0, 1):
-                term = (2 - abs(d)) / 8.0 * (sl(row0, d) + sl(row1, d))
-                acc = term if acc is None else acc + term
-            return acc
-
-        out = out.at[0, 1 : ncy - 1].set(tang(rf[0, :], rf[1, :], ncy).astype(dtype))
-        out = out.at[ncx - 1, 1 : ncy - 1].set(
-            tang(rf[nfx - 1, :], rf[nfx - 2, :], ncy).astype(dtype)
-        )
-        out = out.at[1 : ncx - 1, 0].set(tang(rf[:, 0], rf[:, 1], ncx).astype(dtype))
-        out = out.at[1 : ncx - 1, ncy - 1].set(
-            tang(rf[:, nfy - 1], rf[:, nfy - 2], ncx).astype(dtype)
-        )
-        # corners: both normals folded -> mean of the 2x2 fine corner block
-        for ci, fi in ((0, 0), (ncx - 1, nfx - 2)):
-            for cj, fj in ((0, 0), (ncy - 1, nfy - 2)):
-                blk = 0.25 * (rf[fi, fj] + rf[fi + 1, fj]
-                              + rf[fi, fj + 1] + rf[fi + 1, fj + 1])
-                out = out.at[ci, cj].set(blk.astype(dtype))
+    i0 = 0 if wrap[0] else 1
+    j0 = 0 if wrap[1] else 1
+    ci = jax.lax.broadcasted_iota(jnp.int32, pshape_coarse, 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, pshape_coarse, 1)
+    core = (ci >= i0) & (ci < ncx - 1) & (cj >= j0) & (cj < ncy - 1)
+    zero = jnp.zeros((), dtype)
+    out = jnp.where(core, cpad, zero)
+    if boundary in ("inject", "reflect"):
+        ring = (ci < ncx) & (cj < ncy) & ~core
+        if boundary == "inject":
+            ee = rf.astype(dtype).reshape(px // 2, 2, py // 2, 2)[:, 0, :, 0]
+            ring_vals = place(ee)
+        else:  # reflect: c already carries the folded values at ring nodes
+            ring_vals = cpad
+        out = jnp.where(ring, ring_vals, out)
     return out
 
 

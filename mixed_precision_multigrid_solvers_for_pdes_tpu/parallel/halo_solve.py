@@ -1,0 +1,649 @@
+"""Full multigrid solve inside ONE shard_map region (explicit distribution).
+
+Round-1's explicit path (parallel/halo.py) covered smoothing + norms only;
+this module runs the ENTIRE solve — outer while_loop, every smoothing sweep,
+residual, restriction, prolongation, and the coarse-level agglomeration —
+as a single SPMD program with explicitly scheduled ``ppermute`` halo
+exchanges. It is the TPU-native realization of what the reference scaffolded
+with CUDA streams and never finished (reference gpu/multi_gpu_solver.py:76-88
+compute/send/recv streams; :244-643 the DD iteration whose "coarse
+correction" was a damped-residual placeholder :574-593).
+
+Design:
+
+- **Sharded levels** (fine): every device owns a (bx, by) block of a
+  "halo-repacked" global array of shape (mx*bx, my*by). Block sizes are
+  chosen so fine blocks are exactly 2x their coarse child's blocks
+  (bx_l = bx_0 / 2^l, multiples of 8), which makes blockwise 2:1 transfers
+  local + a 1-ring halo. The standard tile-padded layout (Grid.shape_padded)
+  can't guarantee that alignment, so arrays are repacked at entry/exit.
+- **Replicated levels** (coarse): below ``min_points`` logical rows/cols per
+  device the level is agglomerated by an ``all_gather`` and every device
+  runs the identical single-device cycle code redundantly (the same
+  agglomeration rule as the GSPMD path, parallel/mesh.py:61-72).
+- **Interior-first overlap smoothing**: each color update is computed twice —
+  once from purely local data (valid away from the block ring) while the
+  ppermute halos are in flight, and once from the halo-extended block for the
+  ring — then merged. The duplicated ring compute is O(perimeter); XLA's
+  scheduler can overlap the collective with the interior update because they
+  have no data dependence.
+- **Variable coefficients and Neumann/Robin BCs** are first-class: stencil
+  coefficient arrays are sharded like ``u`` (neighbor VALUES need halos;
+  neighbor COEFFICIENTS do not), unknown masks are rebuilt from global
+  indices per block, and the Neumann 'reflect' restriction is realized by
+  installing reflected values on the halo-extended residual before the
+  9-point sum (x-fold then y-fold composes to the correct corner rule).
+- Norms are ``psum`` reductions of per-block f64 partial sums
+  (reference multi_gpu_solver.py:546-572 did this on the host).
+
+Periodic BCs and line/Chebyshev smoothers stay on the GSPMD path
+(parallel/distributed.py); this module raises for them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.bc import BCKind
+from ..ops import norms, transfer
+from ..solvers import multigrid as mg_mod
+from ..solvers.multigrid import Level, MultigridConfig
+
+Pxy = P("x", "y")
+Prep = P()
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Static layout plan: which levels are sharded and their block shapes."""
+
+    mx: int
+    my: int
+    n_sharded: int                       # levels [0, n_sharded) are sharded
+    blocks: Tuple[Tuple[int, int], ...]  # (bx, by) per sharded level
+
+    def hshape(self, lvl: int) -> Tuple[int, int]:
+        bx, by = self.blocks[lvl]
+        return (self.mx * bx, self.my * by)
+
+
+def make_plan(levels: Tuple[Level, ...], mesh: Mesh,
+              *, min_points: int = 16) -> HaloPlan:
+    """Choose sharded depth + 2:1-aligned block shapes.
+
+    A level stays sharded while every device keeps >= min_points logical
+    rows AND cols; block sizes at the finest level are multiples of
+    8 * 2^(S-1) so every sharded level's block is sublane-aligned and
+    exactly half its parent's.
+    """
+    mx = mesh.shape["x"]
+    my = mesh.shape["y"]
+    S = 0
+    for lev in levels:
+        if lev.grid.nx // mx >= min_points and lev.grid.ny // my >= min_points:
+            S += 1
+        else:
+            break
+    if mx * my == 1:
+        S = 0
+    if S == 0:
+        return HaloPlan(mx, my, 0, ())
+    quant = 8 * (1 << (S - 1))
+    nx0, ny0 = levels[0].grid.nx, levels[0].grid.ny
+    bx0 = _round_up(-(-nx0 // mx), quant)
+    by0 = _round_up(-(-ny0 // my), quant)
+    # every sharded level's global halo extent must cover its logical nodes
+    # plus one even row/col of slack for the 2:1 transfer reads
+    def ok(b0, n0, m, which):
+        for l in range(S):
+            bl = b0 >> l
+            nl = (n0 - 1) // (1 << l) + 1
+            if bl * m < nl + 1:
+                return False
+        return True
+
+    while not ok(bx0, nx0, mx, "x"):
+        bx0 += quant
+    while not ok(by0, ny0, my, "y"):
+        by0 += quant
+    blocks = tuple((bx0 >> l, by0 >> l) for l in range(S))
+    return HaloPlan(mx, my, S, blocks)
+
+
+# ---------------------------------------------------------------------------
+# in-shard_map helpers (all run per-device on local blocks)
+# ---------------------------------------------------------------------------
+
+def _shift(x, axis_name: str, shift: int, size: int):
+    """ppermute by ``shift`` along a mesh axis; off-mesh edges get zeros."""
+    if size == 1:
+        return jnp.zeros_like(x)
+    perm = [(i, i + shift) for i in range(size) if 0 <= i + shift < size]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _with_halo(blk, mx: int, my: int):
+    """(bx, by) -> (bx+2, by+2) with 1-ring neighbor halos (corners via the
+    two-stage x-then-y assembly, which routes diagonal values correctly)."""
+    top = _shift(blk[-1:, :], "x", +1, mx)
+    bot = _shift(blk[:1, :], "x", -1, mx)
+    ext = jnp.concatenate([top, blk, bot], axis=0)
+    left = _shift(ext[:, -1:], "y", +1, my)
+    right = _shift(ext[:, :1], "y", -1, my)
+    return jnp.concatenate([left, ext, right], axis=1)
+
+
+def _gidx(bx: int, by: int, *, ext: bool = False):
+    """Global (i, j) index arrays for the local (possibly halo-extended)
+    block, built from iota + axis_index (no memory traffic)."""
+    off = -1 if ext else 0
+    sx = bx + 2 if ext else bx
+    sy = by + 2 if ext else by
+    gi = (jax.lax.axis_index("x") * bx + off
+          + jax.lax.broadcasted_iota(jnp.int32, (sx, sy), 0))
+    gj = (jax.lax.axis_index("y") * by + off
+          + jax.lax.broadcasted_iota(jnp.int32, (sx, sy), 1))
+    return gi, gj
+
+
+def _block_unknown(spec, nx: int, ny: int, gi, gj):
+    """bc_mod.unknown_mask semantics from global indices (Dirichlet sides
+    exclude the ring; Neumann/Robin rings are unknowns)."""
+    mask = (gi < nx) & (gj < ny) & (gi >= 0) & (gj >= 0)
+    if spec.west.kind == BCKind.DIRICHLET:
+        mask &= gi > 0
+    if spec.east.kind == BCKind.DIRICHLET:
+        mask &= gi < nx - 1
+    if spec.south.kind == BCKind.DIRICHLET:
+        mask &= gj > 0
+    if spec.north.kind == BCKind.DIRICHLET:
+        mask &= gj < ny - 1
+    return mask
+
+
+def _nbsum_ext(stb, uh):
+    """w*u_W + e*u_E + s*u_S + n*u_N on the (bx, by) core of a haloed array.
+
+    ``stb``: stencil leaves (scalars or local (bx, by) blocks)."""
+    return (
+        stb.w * uh[:-2, 1:-1]
+        + stb.e * uh[2:, 1:-1]
+        + stb.s * uh[1:-1, :-2]
+        + stb.n * uh[1:-1, 2:]
+    )
+
+
+def _nbsum_local(stb, u):
+    """Same sum from local rolls only — valid away from the block ring."""
+    return (
+        stb.w * jnp.roll(u, 1, 0)
+        + stb.e * jnp.roll(u, -1, 0)
+        + stb.s * jnp.roll(u, 1, 1)
+        + stb.n * jnp.roll(u, -1, 1)
+    )
+
+
+def _ring_mask(bx: int, by: int):
+    i = jax.lax.broadcasted_iota(jnp.int32, (bx, by), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (bx, by), 1)
+    return (i == 0) | (i == bx - 1) | (j == 0) | (j == by - 1)
+
+
+def _smooth_block(stb, u, f, unknown, mx, my, *, method, sweeps, omega,
+                  overlap: bool = True):
+    """``sweeps`` sweeps of Jacobi or RB-GS with per-color halo exchange.
+
+    With ``overlap`` the interior update is computed from local data while
+    the ppermute is in flight (interior-first smoothing — the thing the
+    reference faked with CUDA streams, multi_gpu_solver.py:76-88)."""
+    bx, by = u.shape
+    ring = _ring_mask(bx, by)
+    om = jnp.asarray(omega, u.dtype)
+    gi, gj = _gidx(bx, by)
+    red = ((gi + gj) & 1) == 0
+
+    def merged_gs(u, mask):
+        uh = _with_halo(u, mx, my)
+        u_gs_h = (f + _nbsum_ext(stb, uh)) / stb.c
+        if overlap:
+            u_gs_l = (f + _nbsum_local(stb, u)) / stb.c
+            u_gs = jnp.where(ring, u_gs_h, u_gs_l)
+        else:
+            u_gs = u_gs_h
+        return jnp.where(mask & unknown, u + om * (u_gs - u), u)
+
+    if method == "jacobi":
+
+        def sweep(_, u):
+            uh = _with_halo(u, mx, my)
+            r_h = f - (stb.c * u - _nbsum_ext(stb, uh))
+            if overlap:
+                r_l = f - (stb.c * u - _nbsum_local(stb, u))
+                r = jnp.where(ring, r_h, r_l)
+            else:
+                r = r_h
+            return jnp.where(unknown, u + om * r / stb.c, u)
+
+    elif method in ("rbgs", "gauss_seidel", "red_black", "sor"):
+
+        def sweep(_, u):
+            u = merged_gs(u, red)
+            return merged_gs(u, ~red)
+
+    else:
+        raise NotImplementedError(
+            f"halo_solve: smoother {method!r} not supported on the explicit "
+            "path (line/chebyshev take the GSPMD path)")
+
+    if sweeps <= 2:
+        for k in range(sweeps):
+            u = sweep(k, u)
+        return u
+    return jax.lax.fori_loop(0, sweeps, sweep, u)
+
+
+def _residual_block(stb, u, f, unknown, mx, my):
+    uh = _with_halo(u, mx, my)
+    r = f - (stb.c * u - _nbsum_ext(stb, uh))
+    return jnp.where(unknown, r, jnp.zeros((), u.dtype))
+
+
+def _install_reflection(rh, spec, nx, ny, bx, by):
+    """Install x/y-reflected values on the halo-extended residual at
+    out-of-domain positions (gi = -1 reads gi = 1; gi = nx reads nx - 2),
+    realizing the Neumann/Robin 'reflect' restriction blockwise. Applying
+    x first and y second composes to the correct corner (2x2-mean) rule."""
+    gih, gjh = _gidx(bx, by, ext=True)
+    refl_w = spec.west.kind != BCKind.DIRICHLET
+    refl_e = spec.east.kind != BCKind.DIRICHLET
+    refl_s = spec.south.kind != BCKind.DIRICHLET
+    refl_n = spec.north.kind != BCKind.DIRICHLET
+    if refl_w:
+        rh = jnp.where(gih == -1, jnp.roll(rh, -2, 0), rh)
+    if refl_e:
+        rh = jnp.where(gih == nx, jnp.roll(rh, 2, 0), rh)
+    if refl_s:
+        rh = jnp.where(gjh == -1, jnp.roll(rh, -2, 1), rh)
+    if refl_n:
+        rh = jnp.where(gjh == ny, jnp.roll(rh, 2, 1), rh)
+    return rh
+
+
+def _restrict_block(r, lev_f: Level, lev_c: Level, mx, my, unknown_c,
+                    bxc: int, byc: int):
+    """Blockwise full-weighting restriction: 9-point sum on the halo-extended
+    residual, then 2:1 decimation (sublane reshape + selection matmul —
+    ops/transfer.py's MXU formulation, reused per block)."""
+    bx, by = r.shape
+    rh = _with_halo(r, mx, my)
+    plain = all(
+        lev_f.spec.side(s).kind == BCKind.DIRICHLET
+        for s in ("west", "east", "south", "north")
+    )
+    if not plain:
+        rh = _install_reflection(rh, lev_f.spec, lev_f.grid.nx, lev_f.grid.ny,
+                                 bx, by)
+    row = 2.0 * rh + jnp.roll(rh, 1, 0) + jnp.roll(rh, -1, 0)
+    W = (2.0 * row + jnp.roll(row, 1, 1) + jnp.roll(row, -1, 1)) / 16.0
+    W = W[1:-1, 1:-1]                       # back to the (bx, by) core
+    W2 = W.reshape(bx // 2, 2, by)[:, 0, :]  # sublane decimation
+    D = jnp.asarray(transfer._decim_matrix(by, by // 2), W2.dtype)
+    c = jnp.dot(W2, D, precision=jax.lax.Precision.HIGHEST)
+    c = c.astype(lev_c.dtype)
+    return jnp.where(unknown_c, c, jnp.zeros((), lev_c.dtype))
+
+
+def _prolong_block(ec, lev_f: Level, mx, my, bx: int, by: int):
+    """Blockwise bilinear prolongation: coarse block + 1-ring east/north halo,
+    then interpolation matmuls (exact, no lane reshapes)."""
+    bxc, byc = ec.shape
+    # east/north halo only (parents of odd fine rows/cols at the block end)
+    bot = _shift(ec[:1, :], "x", -1, mx)
+    extx = jnp.concatenate([ec, bot], axis=0)           # (bxc+1, byc)
+    right = _shift(extx[:, :1], "y", -1, my)
+    ext = jnp.concatenate([extx, right], axis=1)        # (bxc+1, byc+1)
+    Ex = jnp.asarray(_block_interp(bxc + 1, bx), lev_f.dtype)
+    Ey = jnp.asarray(_block_interp(byc + 1, by), lev_f.dtype)
+    HIGH = jax.lax.Precision.HIGHEST
+    tall = jax.lax.dot_general(
+        Ex, ext.astype(lev_f.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())), precision=HIGH,
+    )
+    return jnp.dot(tall, Ey, precision=HIGH)
+
+
+@lru_cache(maxsize=None)
+def _block_interp(ncoarse: int, nfine: int):
+    """Block-local bilinear interpolation matrix ((ncoarse, nfine), numpy).
+
+    Local fine index p has parents p//2 (and p//2 + 1 when p is odd); the
+    +1 parent of the last odd row comes from the halo entry ncoarse-1."""
+    E = np.zeros((ncoarse, nfine), np.float32)
+    for p in range(nfine):
+        i = p // 2
+        if p % 2 == 0:
+            E[i, p] = 1.0
+        else:
+            E[i, p] = 0.5
+            E[i + 1, p] = 0.5
+    return E
+
+
+# ---------------------------------------------------------------------------
+# repacking between standard tile-padded and halo layouts (outside shard_map)
+# ---------------------------------------------------------------------------
+
+def _repack(field, grid, hshape):
+    """standard padded -> halo layout (logical region at the origin)."""
+    hx, hy = hshape
+    nx = min(grid.nx, hx)
+    ny = min(grid.ny, hy)
+    out = jnp.zeros(hshape, field.dtype)
+    return out.at[:nx, :ny].set(field[:nx, :ny])
+
+
+def _unpack(field_h, grid):
+    px, py = grid.shape_padded
+    out = jnp.zeros((px, py), field_h.dtype)
+    return out.at[: grid.nx, : grid.ny].set(field_h[: grid.nx, : grid.ny])
+
+
+def _repack_stencil(st, grid, hshape):
+    def leaf(x):
+        if jnp.ndim(x) == 0:
+            return x
+        return _repack(x, grid, hshape)
+
+    from ..ops.stencil import Stencil
+
+    return Stencil(*(leaf(getattr(st, k)) for k in "cwesn"))
+
+
+# ---------------------------------------------------------------------------
+# the solve
+# ---------------------------------------------------------------------------
+
+def halo_solve(
+    mesh: Mesh,
+    levels: Tuple[Level, ...],
+    f,
+    u0=None,
+    cfg: MultigridConfig = MultigridConfig(),
+    *,
+    min_points: int = 16,
+    overlap: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """mg_solve with the whole solve inside one shard_map region.
+
+    Accepts/returns standard padded arrays (repacked internally). Matches
+    ``mg_solve``'s info dict. Raises for periodic specs and line smoothers
+    (GSPMD path covers those).
+    """
+    lev0 = levels[0]
+    if lev0.spec.any_periodic:
+        raise NotImplementedError(
+            "halo_solve: periodic BCs take the GSPMD path")
+    if cfg.smoother not in ("jacobi", "rbgs", "gauss_seidel", "red_black",
+                            "sor"):
+        raise NotImplementedError(
+            f"halo_solve: smoother {cfg.smoother!r} takes the GSPMD path")
+    if cfg.restriction != "full_weighting" or cfg.prolongation != "bilinear":
+        raise NotImplementedError(
+            "halo_solve: blockwise transfers implement full_weighting + "
+            "bilinear only (the GSPMD path covers the rest)")
+    if u0 is None:
+        u0 = jnp.zeros(lev0.grid.shape_padded, lev0.dtype)
+
+    plan = make_plan(levels, mesh, min_points=min_points)
+    out_u, packed = _halo_solve_jit(mesh, tuple(levels), plan, f, u0, cfg,
+                                    overlap)
+    return out_u, mg_mod._unpack_info(np.asarray(packed))
+
+
+def _halo_solve_jit(mesh, levels, plan, f, u0, cfg, overlap):
+    S = plan.n_sharded
+    lev0 = levels[0]
+    # repack fine arrays into halo layout (or standard layout if S == 0)
+    if S:
+        f_h = _repack(f.astype(lev0.dtype), lev0.grid, plan.hshape(0))
+        u_h = _repack(u0.astype(lev0.dtype), lev0.grid, plan.hshape(0))
+    else:
+        f_h = f.astype(lev0.dtype)
+        u_h = u0.astype(lev0.dtype)
+    # repack sharded levels' stencils; replicated levels keep standard layout
+    sten = []
+    for l, lev in enumerate(levels):
+        if l < S:
+            sten.append(_repack_stencil(lev.stencil, lev.grid, plan.hshape(l)))
+        else:
+            sten.append(lev.stencil)
+    # flatten: each Stencil contributes exactly its 5 (c,w,e,s,n) leaves
+    sten_leaves = tuple(x for st in sten for x in (st.c, st.w, st.e, st.s,
+                                                   st.n))
+    meta = tuple((lev.grid, lev.spec, np.dtype(lev.dtype)) for lev in levels)
+    u_out_h, packed = _halo_solve_core(
+        f_h, u_h, sten_leaves, mesh=mesh, plan=plan, cfg=cfg,
+        overlap=overlap, meta=meta)
+    if S:
+        u_out = _unpack(u_out_h, lev0.grid)
+    else:
+        u_out = u_out_h
+    return u_out, packed
+
+
+@partial(jax.jit, static_argnames=("mesh", "plan", "cfg", "overlap", "meta"))
+def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
+                     meta):
+    from ..ops.stencil import Stencil
+
+    S = plan.n_sharded
+    mx, my = plan.mx, plan.my
+    n_lev = len(meta)
+    sten_traced = tuple(
+        Stencil(*sten_leaves[5 * l: 5 * l + 5]) for l in range(n_lev))
+    levels = tuple(
+        Level(stencil=sten_traced[l], grid=meta[l][0], spec=meta[l][1],
+              dtype=meta[l][2])
+        for l in range(n_lev))
+
+    # per-leaf specs: sharded-level array leaves P('x','y'), rest replicated
+    leaf_specs = []
+    for l in range(n_lev):
+        st = sten_traced[l]
+        for leaf in (st.c, st.w, st.e, st.s, st.n):
+            sharded = l < S and jnp.ndim(leaf) != 0
+            leaf_specs.append(Pxy if sharded else Prep)
+    in_specs = ((Pxy if S else Prep), (Pxy if S else Prep),
+                tuple(leaf_specs))
+    out_specs = ((Pxy if S else Prep), Prep)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs, check_vma=False)
+    def run(u_blk, f_blk, leaves):
+        sten = tuple(Stencil(*leaves[5 * l: 5 * l + 5])
+                     for l in range(n_lev))
+
+        def level_ctx(l):
+            lev = levels[l]
+            if l < S:
+                bx, by = plan.blocks[l]
+                gi, gj = _gidx(bx, by)
+                unknown = _block_unknown(lev.spec, lev.grid.nx, lev.grid.ny,
+                                         gi, gj)
+            else:
+                unknown = lev.unknown
+            return lev, sten[l], unknown
+
+        def smooth(l, u, f, sweeps, method=None, omega=None):
+            lev, stb, unknown = level_ctx(l)
+            method = method or cfg.smoother
+            omega = cfg.omega if omega is None else omega
+            if sweeps <= 0:
+                return u
+            if l < S:
+                return _smooth_block(stb, u, f, unknown, mx, my,
+                                     method=method, sweeps=sweeps,
+                                     omega=omega, overlap=overlap)
+            from ..ops import smooth as smooth_mod
+
+            return smooth_mod.smooth(stb, u, f, unknown, method=method,
+                                     sweeps=sweeps, omega=omega)
+
+        def residual(l, u, f):
+            lev, stb, unknown = level_ctx(l)
+            if l < S:
+                return _residual_block(stb, u, f, unknown, mx, my)
+            from ..ops import stencil as st_mod
+
+            return st_mod.residual(stb, u, f, unknown)
+
+        def to_coarse(l, r):
+            """restrict level-l residual -> level-(l+1) rhs."""
+            lev_f = levels[l]
+            lev_c = levels[l + 1]
+            if l + 1 < S:       # sharded -> sharded
+                bxc, byc = plan.blocks[l + 1]
+                gi, gj = _gidx(bxc, byc)
+                unknown_c = _block_unknown(lev_c.spec, lev_c.grid.nx,
+                                           lev_c.grid.ny, gi, gj)
+                return _restrict_block(r, lev_f, lev_c, mx, my, unknown_c,
+                                       bxc, byc)
+            if l < S:           # sharded -> replicated (agglomeration)
+                bx, by = plan.blocks[l]
+                virt = _restrict_block(
+                    r, lev_f, lev_c, mx, my,
+                    jnp.ones((bx // 2, by // 2), bool), bx // 2, by // 2)
+                full = jax.lax.all_gather(virt, "x", axis=0, tiled=True)
+                full = jax.lax.all_gather(full, "y", axis=1, tiled=True)
+                pxc, pyc = lev_c.grid.shape_padded
+                out = jnp.zeros((pxc, pyc), lev_c.dtype)
+                nx, ny = lev_c.grid.nx, lev_c.grid.ny
+                out = out.at[:nx, :ny].set(full[:nx, :ny])
+                return jnp.where(lev_c.unknown, out,
+                                 jnp.zeros((), lev_c.dtype))
+            # replicated -> replicated: single-device path
+            plain = all(
+                lev_f.spec.side(s).kind == BCKind.DIRICHLET
+                for s in ("west", "east", "south", "north")
+            )
+            fc = transfer.restrict(
+                r, lev_c.grid.nx, lev_c.grid.ny, lev_c.grid.shape_padded,
+                method=cfg.restriction,
+                boundary="zero" if plain else "reflect", dtype=lev_c.dtype,
+            )
+            return jnp.where(lev_c.unknown, fc, jnp.zeros((), lev_c.dtype))
+
+        def to_fine(l, ec):
+            """prolong level-(l+1) correction -> level-l correction."""
+            lev_f = levels[l]
+            lev_c = levels[l + 1]
+            if l + 1 < S:       # sharded -> sharded
+                bx, by = plan.blocks[l]
+                return _prolong_block(ec, lev_f, mx, my, bx, by)
+            if l < S:           # replicated -> sharded (de-agglomeration)
+                bx, by = plan.blocks[l]
+                bxc, byc = bx // 2, by // 2
+                pxc, pyc = ec.shape
+                need_x = plan.mx * bxc + 1
+                need_y = plan.my * byc + 1
+                pad_x = max(0, need_x - pxc)
+                pad_y = max(0, need_y - pyc)
+                ec_p = jnp.pad(ec, ((0, pad_x), (0, pad_y)))
+                start = (jax.lax.axis_index("x") * bxc,
+                         jax.lax.axis_index("y") * byc)
+                win = jax.lax.dynamic_slice(ec_p, start, (bxc + 1, byc + 1))
+                Ex = jnp.asarray(_block_interp(bxc + 1, bx), win.dtype)
+                Ey = jnp.asarray(_block_interp(byc + 1, by), win.dtype)
+                HIGH = jax.lax.Precision.HIGHEST
+                tall = jax.lax.dot_general(
+                    Ex, win.astype(lev_f.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    precision=HIGH)
+                return jnp.dot(tall, Ey, precision=HIGH)
+            # replicated -> replicated
+            return transfer.prolong(
+                ec, lev_c.grid.nx, lev_c.grid.ny, lev_f.grid.nx,
+                lev_f.grid.ny, lev_f.grid.shape_padded,
+                method=cfg.prolongation, dtype=lev_f.dtype,
+            )
+
+        def cycle(l, u, f, cycle_type):
+            lev, stb, unknown = level_ctx(l)
+            if l == len(levels) - 1:
+                return smooth(l, u, f, cfg.coarse_sweeps, method="rbgs",
+                              omega=1.0)
+            u = smooth(l, u, f, cfg.pre_sweeps)
+            r = residual(l, u, f)
+            fc = to_coarse(l, r)
+            lev_c = levels[l + 1]
+            if l + 1 < S:
+                ec = jnp.zeros(plan.blocks[l + 1], lev_c.dtype)
+            else:
+                ec = jnp.zeros(lev_c.grid.shape_padded, lev_c.dtype)
+            branch = cycle_type if l + 1 < cfg.w_depth else "V"
+            if cycle_type == "V" or branch == "V":
+                ec = cycle(l + 1, ec, fc, "V")
+            elif cycle_type == "W":
+                ec = cycle(l + 1, ec, fc, "W")
+                ec = cycle(l + 1, ec, fc, "W")
+            elif cycle_type == "F":
+                ec = cycle(l + 1, ec, fc, "F")
+                ec = cycle(l + 1, ec, fc, "V")
+            else:
+                raise ValueError(f"unknown cycle {cycle_type!r}")
+            e = to_fine(l, ec)
+            u = jnp.where(unknown, u + e.astype(u.dtype), u)
+            return smooth(l, u, f, cfg.post_sweeps)
+
+        def res_norm(u, f):
+            lev, stb, unknown = level_ctx(0)
+            r = residual(0, u, f)
+            local = jnp.sum(r.astype(jnp.float64) ** 2)
+            if S:
+                local = jax.lax.psum(jax.lax.psum(local, "x"), "y")
+            return jnp.sqrt(lev.grid.hx * lev.grid.hy * local)
+
+        lev0 = levels[0]
+        fnorm_loc = jnp.sum(
+            jnp.where(level_ctx(0)[2], f_blk, 0).astype(jnp.float64) ** 2)
+        if S:
+            fnorm_loc = jax.lax.psum(jax.lax.psum(fnorm_loc, "x"), "y")
+        fnorm = jnp.sqrt(lev0.grid.hx * lev0.grid.hy * fnorm_loc)
+        tol_eff = jnp.where(jnp.asarray(cfg.rtol),
+                            cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol)
+
+        rnorm0 = res_norm(u_blk, f_blk)
+        hist = jnp.full((cfg.max_iterations + 1,), jnp.nan, jnp.float64)
+        hist = hist.at[0].set(rnorm0)
+
+        def cond(c):
+            u, k, rn, h = c
+            return (rn > tol_eff) & (k < cfg.max_iterations)
+
+        def body(c):
+            u, k, rn, h = c
+            u = cycle(0, u, f_blk, cfg.cycle)
+            rn = res_norm(u, f_blk)
+            h = h.at[k + 1].set(rn)
+            return (u, k + 1, rn, h)
+
+        u, k, rnorm, hist = jax.lax.while_loop(
+            cond, body, (u_blk, jnp.asarray(0, jnp.int32), rnorm0, hist))
+        stats = jnp.stack([
+            k.astype(jnp.float64), rnorm, rnorm0, fnorm,
+            (rnorm <= tol_eff).astype(jnp.float64),
+        ])
+        return u, jnp.concatenate([stats, hist])
+
+    return run(u_h, f_h, sten_leaves)

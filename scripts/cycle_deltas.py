@@ -57,6 +57,9 @@ def marginal(make_fn, make_args, k_lo=16, k_hi=144, repeats=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1025)
+    ap.add_argument("--depth", type=int, default=2,
+                    help="hierarchy depth (0 = full)")
+    ap.add_argument("--backend", default="auto")
     args = ap.parse_args()
     n = args.n
     g = Grid(n, n)
@@ -70,8 +73,12 @@ def main():
         f[:n, :n] = rng.standard_normal((n, n))
         return jnp.asarray(u), jnp.asarray(f)
 
-    base = MultigridConfig(smoother="rbgs", omega=1.0, cycle="V")
-    levels = mg_mod.build_hierarchy(g, dtype=jnp.float32, cfg=base)[:2]
+    base = MultigridConfig(smoother="rbgs", omega=1.0, cycle="V",
+                           backend=args.backend)
+    levels = mg_mod.build_hierarchy(g, dtype=jnp.float32, cfg=base)
+    if args.depth:
+        levels = levels[: args.depth]
+    print(f"# n={n} depth={len(levels)} backend={args.backend}", flush=True)
 
     configs = [
         ("A: pre0 post0 coarse0", base.replace(pre_sweeps=0, post_sweeps=0,

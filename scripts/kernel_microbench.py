@@ -225,6 +225,26 @@ def parity_call(pshape, nx, ny, sweeps):
 
 # ---------------------------------------------------------------------------
 
+def strips_call(st, n, total_sweeps):
+    """Chained CALLS of the strip kernel at sweeps=2 (halo grows with the
+    in-kernel sweep count, so the K-sweeps-in-one-kernel protocol doesn't
+    apply; per-call chaining also charges the real launch+DMA cost)."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels \
+        import smooth as psmooth
+
+    calls = max(1, total_sweeps // 2)
+
+    @jax.jit
+    def run(u, f):
+        def body(i, u):
+            return psmooth.multisweep_strips(
+                st, u, f + 1e-30 * i, nx=n, ny=n, method="rbgs", sweeps=2,
+                omega=1.0)
+        return jax.lax.fori_loop(0, calls, body, u)
+
+    return run
+
+
 def xla_call(st, unknown, method, sweeps):
     @jax.jit
     def run(u, f):
@@ -238,8 +258,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="513,1025")
     ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant-name substrings to run")
     args = ap.parse_args()
     K = args.k
+    only = [s for s in args.only.split(",") if s]
 
     disp = dispatch_overhead()
     print(f"# dispatch overhead: {disp*1e3:.2f} ms", flush=True)
@@ -273,7 +296,10 @@ def main():
             ("pallas_lane", lambda k: probe_call("lane", pshape, n, n, k)),
             ("pallas_none", lambda k: probe_call("none", pshape, n, n, k)),
             ("pallas_parity", lambda k: parity_call(pshape, n, n, k)),
+            ("pallas_strips", lambda k: strips_call(st, n, k)),
         ]:
+            if only and not any(s in name for s in only):
+                continue
             try:
                 per_sweep, t_lo = timed_marginal(make, mk, K_LO, K_HI)
                 rows[name] = per_sweep

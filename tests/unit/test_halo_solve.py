@@ -1,0 +1,132 @@
+"""Full-solve explicit-distribution path (parallel/halo_solve.py) vs the
+GSPMD path, on the virtual 8-device CPU mesh.
+
+The VERDICT-2 acceptance criterion: the entire mg_solve (transfers, coarse
+agglomeration, norms, outer while_loop) runs inside one shard_map region with
+ppermute halos and matches the GSPMD solve for Poisson, variable-coefficient,
+and Neumann problems.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+from mixed_precision_multigrid_solvers_for_pdes_tpu import parallel
+from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P
+from mixed_precision_multigrid_solvers_for_pdes_tpu.parallel import halo_solve
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+    MultigridConfig,
+)
+
+CFG = MultigridConfig(smoother="rbgs", omega=1.0, backend="xla",
+                      max_iterations=30)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device virtual mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return parallel.make_mesh(jax.devices()[:8], shape=(2, 4))
+
+
+def _compare(mesh, prob, cfg=CFG, dtype="float64", atol=1e-11):
+    levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a, lam=prob.lam,
+                                dtype=dtype, cfg=cfg)
+    f = prob.rhs(jnp.float64)
+    u0 = prob.initial_guess(jnp.float64)
+    u_ref, info_ref = parallel.sharded_solve(mesh, levels, f, u0, cfg=cfg)
+    u_h, info_h = halo_solve.halo_solve(mesh, levels, f, u0, cfg=cfg)
+    assert info_h["converged"]
+    assert info_h["iterations"] == info_ref["iterations"]
+    np.testing.assert_allclose(np.asarray(u_h), np.asarray(u_ref),
+                               rtol=0, atol=atol)
+    return u_h, info_h
+
+
+class TestHaloSolveMatchesGSPMD:
+    def test_poisson(self, mesh):
+        prob = P.poisson_mms_sinsin(129)
+        u, info = _compare(mesh, prob)
+        assert prob.error_norms(u)["l2"] < 1e-4
+
+    def test_variable_coefficient(self, mesh):
+        prob = P.variable_coefficient_mms(65)
+        u, info = _compare(mesh, prob)
+        assert prob.error_norms(u)["l2"] < 1e-3
+
+    def test_neumann(self, mesh):
+        prob = P.neumann_test_problem(65)
+        u, info = _compare(mesh, prob)
+        assert prob.error_norms(u)["l2"] < 1e-3
+
+    def test_w_cycle(self, mesh):
+        prob = P.poisson_mms_sinsin(65)
+        _compare(mesh, prob, cfg=CFG.replace(cycle="W"))
+
+    def test_fp32_mixed_hierarchy(self, mesh):
+        prob = P.poisson_mms_sinsin(65)
+        # fp32 residual-evaluation floor at 65^2 is ~2e-4 absolute (~1e-5
+        # relative); 1e-4 relative is honestly reachable
+        cfg = CFG.replace(tol=1e-4)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float32",
+                                    cfg=cfg)
+        f = prob.rhs(jnp.float32)
+        u_ref, info_ref = parallel.sharded_solve(mesh, levels, f, cfg=cfg)
+        u_h, info_h = halo_solve.halo_solve(mesh, levels, f, cfg=cfg)
+        assert info_h["converged"]
+        assert abs(info_h["iterations"] - info_ref["iterations"]) <= 1
+        np.testing.assert_allclose(np.asarray(u_h), np.asarray(u_ref),
+                                   rtol=0, atol=1e-5)
+
+
+class TestHaloSolveVariants:
+    def test_overlap_off_matches_on(self, mesh):
+        """Interior-first overlap changes scheduling, not numerics."""
+        prob = P.poisson_mms_sinsin(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        f = prob.rhs(jnp.float64)
+        u_on, _ = halo_solve.halo_solve(mesh, levels, f, cfg=CFG,
+                                        overlap=True)
+        u_off, _ = halo_solve.halo_solve(mesh, levels, f, cfg=CFG,
+                                         overlap=False)
+        np.testing.assert_allclose(np.asarray(u_on), np.asarray(u_off),
+                                   rtol=0, atol=1e-13)
+
+    def test_strip_mesh(self):
+        """1D strip decomposition (8, 1) — halos in x only."""
+        m = parallel.make_mesh(jax.devices()[:8], shape=(8, 1))
+        prob = P.poisson_mms_sinsin(129)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        f = prob.rhs(jnp.float64)
+        u_ref, info_ref = mg.mg_solve(levels, f, None, CFG)
+        u_h, info_h = halo_solve.halo_solve(m, levels, f, cfg=CFG)
+        assert info_h["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_h), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
+
+    def test_single_device_mesh_replicated(self):
+        """mesh (1,1): S = 0, the solve runs the plain single-device path."""
+        m = parallel.make_mesh(jax.devices()[:1], shape=(1, 1))
+        prob = P.poisson_mms_sinsin(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        f = prob.rhs(jnp.float64)
+        u_ref, info_ref = mg.mg_solve(levels, f, None, CFG)
+        u_h, info_h = halo_solve.halo_solve(m, levels, f, cfg=CFG)
+        assert info_h["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_h), np.asarray(u_ref),
+                                   rtol=0, atol=1e-12)
+
+    def test_periodic_raises(self, mesh):
+        prob = P.periodic_helmholtz_mms(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, lam=prob.lam,
+                                    dtype="float64", cfg=CFG)
+        with pytest.raises(NotImplementedError):
+            halo_solve.halo_solve(mesh, levels, prob.rhs(jnp.float64),
+                                  cfg=CFG)
