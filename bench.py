@@ -43,11 +43,14 @@ def main():
     u, info = ir_solve(levels, f, u0, cfg, inner_cycles=2, use_fmg=True)
     assert info["converged"], info
 
-    runs = 5
-    t0 = time.time()
+    # min over runs: the axon tunnel's fixed per-execution cost jitters by
+    # +-40% run to run, which a mean smears into the result
+    runs = 7
+    dt = float("inf")
     for _ in range(runs):
+        t0 = time.time()
         u, info = ir_solve(levels, f, u0, cfg, inner_cycles=2, use_fmg=True)
-    dt = (time.time() - t0) / runs
+        dt = min(dt, time.time() - t0)
 
     dofs = (n - 2) ** 2
     dof_per_s = dofs / dt

@@ -184,6 +184,7 @@ def shift_hierarchy(levels: Tuple[Level, ...], lam) -> Tuple[Level, ...]:
                 grid=lev.grid,
                 spec=lev.spec,
                 dtype=lev.dtype,
+                domain=lev.domain,
             )
         )
     return tuple(out)

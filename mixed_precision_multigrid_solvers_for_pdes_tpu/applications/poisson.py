@@ -67,12 +67,13 @@ def solve_poisson(
         u, info = refinement.adaptive_solve(
             problem.grid, problem.spec, problem.rhs(jnp.float64),
             problem.initial_guess(jnp.float64),
-            a=problem.a, lam=problem.lam, policy=pol, cfg=cfg,
+            a=problem.a, lam=problem.lam, domain=problem.domain,
+            policy=pol, cfg=cfg,
         )
     elif pol.mode == Precision.MIXED:
         levels = mg_mod.build_hierarchy(
             problem.grid, problem.spec, a=problem.a, lam=problem.lam,
-            policy=pol, cfg=cfg,
+            domain=problem.domain, policy=pol, cfg=cfg,
         )
         u, info = refinement.ir_solve(
             levels, problem.rhs(jnp.float64), problem.initial_guess(jnp.float64),
@@ -82,7 +83,7 @@ def solve_poisson(
         dt = pol.mode.dtype
         levels = mg_mod.build_hierarchy(
             problem.grid, problem.spec, a=problem.a, lam=problem.lam,
-            dtype=dt, cfg=cfg,
+            domain=problem.domain, dtype=dt, cfg=cfg,
         )
         if dt == jnp.float32 and cfg.tol < 1e-6:
             # fp32 cycles cannot reach below ~1e-7 relative; wrap in IR

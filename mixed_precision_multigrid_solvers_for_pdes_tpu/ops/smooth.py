@@ -66,8 +66,11 @@ def rb_color_update(st: Stencil, u, f, unknown, color_mask, omega, sync=None):
     return jnp.where(color_mask & unknown, u_new, u)
 
 
-def rbgs_sweep(st: Stencil, u, f, unknown, omega=1.0, sync=None):
-    """One red-black Gauss-Seidel sweep (red then black).
+def rbgs_sweep(st: Stencil, u, f, unknown, omega=1.0, sync=None,
+               reverse: bool = False):
+    """One red-black Gauss-Seidel sweep (red then black; black then red with
+    ``reverse`` — the adjoint ordering that makes pre+post smoothing a
+    symmetric operator for CG preconditioning).
 
     Black updates see the freshly-updated red values — true GS ordering, same
     as reference cuda_kernels.py:147-177 launched per color.
@@ -78,8 +81,9 @@ def rbgs_sweep(st: Stencil, u, f, unknown, omega=1.0, sync=None):
     marginally (the seam is a measure-zero line).
     """
     red = _parity(u.shape)
-    u = rb_color_update(st, u, f, unknown, red, omega, sync)
-    u = rb_color_update(st, u, f, unknown, ~red, omega, sync)
+    first, second = (~red, red) if reverse else (red, ~red)
+    u = rb_color_update(st, u, f, unknown, first, omega, sync)
+    u = rb_color_update(st, u, f, unknown, second, omega, sync)
     return u
 
 
@@ -217,6 +221,9 @@ def smooth(st: Stencil, u, f, unknown, *, method: str = "jacobi",
         body = lambda _, u: jacobi_sweep(st, u, f, unknown, omega, sync)
     elif method in ("rbgs", "gauss_seidel", "red_black", "sor"):
         body = lambda _, u: rbgs_sweep(st, u, f, unknown, omega, sync)
+    elif method == "rbgs_rev":  # adjoint color order (symmetric cycles)
+        body = lambda _, u: rbgs_sweep(st, u, f, unknown, omega, sync,
+                                       reverse=True)
     elif method in ("line_x", "line_y", "adi"):
         # periodic axes: the line axis solves a cyclic tridiagonal system
         # (Sherman-Morrison over PCR); cross-axis wraps come via sync

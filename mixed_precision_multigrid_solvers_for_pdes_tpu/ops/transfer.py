@@ -86,40 +86,69 @@ def _decim_matrix(nfine_p: int, ncoarse_p: int):
     return D  # numpy: caching a jnp array made inside a trace leaks tracers
 
 
-@lru_cache(maxsize=None)
-def _interp_matrix(ncoarse_p: int, nfine_p: int, nf: int):
-    """Bilinear interpolation matrix E: E[j, 2j]=1, E[j, 2j+-1]=1/2.
+_CHUNK = 256  # fine-lane chunk for block-local decimation/interleave
 
-    Columns >= ``nf`` (fine padding) are zero, so the matmul output is
-    already clean in the padded region — no post-masking pass needed."""
-    E = np.zeros((ncoarse_p, nfine_p), np.float32)
-    for j in range(ncoarse_p):
-        for p, wgt in ((2 * j, 1.0), (2 * j + 1, 0.5), (2 * j - 1, 0.5)):
-            if 0 <= p < min(nfine_p, nf):
-                E[j, p] = wgt
-    return E  # numpy: caching a jnp array made inside a trace leaks tracers
+
+def _chunked_decim(W2, dtype):
+    """Lane decimation via the MXU, chunk-locally: the selection matrix only
+    connects fine lane 2j to coarse lane j WITHIN a 256-lane chunk (chunk c
+    covers fine [256c, 256c+256) -> coarse [128c, 128c+128)), so a batched
+    (256 x 128) matmul does the same data movement with ~py/256x fewer FLOPs
+    than the full (py x py/2) matmul — measured 165 -> ~35 us at 2049^2."""
+    px2, py = W2.shape
+    if py % _CHUNK:
+        D = jnp.asarray(_decim_matrix(py, py // 2), dtype)
+        return jnp.dot(W2, D, precision=jax.lax.Precision.HIGHEST)
+    D = jnp.asarray(_decim_matrix(_CHUNK, _CHUNK // 2), dtype)
+    v = W2.reshape(px2, py // _CHUNK, _CHUNK)
+    c = jnp.einsum("xcy,yz->xcz", v, D,
+                   precision=jax.lax.Precision.HIGHEST)
+    return c.reshape(px2, py // 2)
+
+
+def _chunked_zero_interleave_y(c, dtype):
+    """(.., pyc) -> (.., 2*pyc) with values at even lanes, zeros at odd —
+    the transpose of decimation, as chunk-local MXU matmuls (exact)."""
+    px, pyc = c.shape
+    HC = _CHUNK // 2
+    if pyc % HC:
+        T = jnp.asarray(_decim_matrix(2 * pyc, pyc).T, dtype)
+        return jnp.dot(c, T, precision=jax.lax.Precision.HIGHEST)
+    T = jnp.asarray(_decim_matrix(_CHUNK, HC).T, dtype)  # (128, 256)
+    v = c.reshape(px, pyc // HC, HC)
+    out = jnp.einsum("xcy,yz->xcz", v, T,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(px, 2 * pyc)
 
 
 def _prolong_matmul(ec, ncx, ncy, nfx, nfy, pshape_fine, dtype):
-    """Bilinear prolongation as two MXU matmuls (Ex^T @ ec @ Ey).
+    """Bilinear prolongation = zero-interleave + separable [1/2 1 1/2] conv.
 
-    Measured ~81 us materialized at 513 -> 1025 fp32 vs ~158 us for the
-    repeat+parity-select path (scripts/transfer_microbench.py); exact to fp32
-    rounding (weights 1 and 1/2 are bf16-exact, Precision.HIGHEST). The
-    arithmetic matches the repeat+parity-select formulation node-for-node,
-    including the periodic-seam convention (padded line pyc-1 only feeds
-    fine columns >= nf, which the nf cutoff zeroes).
+    - x interleave: a legal sublane stack+reshape (free);
+    - y interleave: chunk-local transpose-decimation matmuls on the MXU
+      (exact; the only lane-dim data movement);
+    - the bilinear weights then come from fused unit rolls (BW-bound).
+
+    Matches the repeat+parity-select formulation to fp32 rounding; measured
+    ~87 -> ~30 us at 513 -> 1025 and ~511 -> ~100 us at 1025 -> 2049 vs the
+    dense Ex^T @ ec @ Ey matmuls (O(N^1.5) FLOPs) they replace.
     """
     pxc, pyc = ec.shape
     pxf, pyf = pshape_fine
-    Ex = jnp.asarray(_interp_matrix(pxc, pxf, nfx), dtype)
-    Ey = jnp.asarray(_interp_matrix(pyc, pyf, nfy), dtype)
-    HIGH = jax.lax.Precision.HIGHEST
-    tall = jax.lax.dot_general(               # (pxf, pyc) = Ex^T @ ec
-        Ex, ec.astype(dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())), precision=HIGH,
-    )
-    return jnp.dot(tall, Ey, precision=HIGH)
+    c = ec.astype(dtype)
+    # x zero-interleave (sublane): rows 2i <- c_i, odd rows 0
+    zx = jnp.stack([c, jnp.zeros_like(c)], axis=1).reshape(2 * pxc, pyc)
+    # y zero-interleave (lane, via MXU)
+    fz = _chunked_zero_interleave_y(zx, dtype)           # (2pxc, 2pyc)
+    half = jnp.asarray(0.5, dtype)
+    w = fz + half * (jnp.roll(fz, 1, 0) + jnp.roll(fz, -1, 0))
+    w = w + half * (jnp.roll(w, 1, 1) + jnp.roll(w, -1, 1))
+    # pxf <= 2*pxc and pyf <= 2*pyc always (tile rounding); crop then apply
+    # the nf cutoff (padding must stay clean; also kills roll wraparound)
+    w = w[:pxf, :pyf]
+    i = jax.lax.broadcasted_iota(jnp.int32, (pxf, pyf), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (pxf, pyf), 1)
+    return jnp.where((i < nfx) & (j < nfy), w, jnp.zeros((), dtype))
 
 
 def _restrict_interior_fine(rf, dtype, *, full: bool):
@@ -149,8 +178,7 @@ def _restrict_interior_fine(rf, dtype, *, full: bool):
         w = (4.0 * rf + up(rf, 0) + dn(rf, 0) + up(rf, 1) + dn(rf, 1)) / 8.0
     pxf, pyf = w.shape
     w2 = w.reshape(pxf // 2, 2, pyf)[:, 0, :]          # sublane decimation
-    D = jnp.asarray(_decim_matrix(pyf, pyf // 2), dtype)
-    return jnp.dot(w2, D, precision=jax.lax.Precision.HIGHEST)
+    return _chunked_decim(w2, dtype)
 
 
 def restrict(

@@ -402,6 +402,10 @@ def halo_solve(
         raise NotImplementedError(
             "halo_solve: blockwise transfers implement full_weighting + "
             "bilinear only (the GSPMD path covers the rest)")
+    if any(lev.domain is not None for lev in levels):
+        raise NotImplementedError(
+            "halo_solve: irregular domains take the GSPMD path "
+            "(_block_unknown has no DomainSpec branch yet)")
     if u0 is None:
         u0 = jnp.zeros(lev0.grid.shape_padded, lev0.dtype)
 
@@ -620,10 +624,12 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
         if S:
             fnorm_loc = jax.lax.psum(jax.lax.psum(fnorm_loc, "x"), "y")
         fnorm = jnp.sqrt(lev0.grid.hx * lev0.grid.hy * fnorm_loc)
-        tol_eff = jnp.where(jnp.asarray(cfg.rtol),
-                            cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol)
-
         rnorm0 = res_norm(u_blk, f_blk)
+        # relative scale max(||f||, ||r0||) — matches mg_solve (f = 0 case)
+        tol_eff = jnp.where(
+            jnp.asarray(cfg.rtol),
+            cfg.tol * jnp.maximum(jnp.maximum(fnorm, rnorm0), 1e-300),
+            cfg.tol)
         hist = jnp.full((cfg.max_iterations + 1,), jnp.nan, jnp.float64)
         hist = hist.at[0].set(rnorm0)
 

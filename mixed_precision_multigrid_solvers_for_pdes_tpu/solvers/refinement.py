@@ -48,8 +48,12 @@ def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
     f = f.astype(jnp.float64)
     u = u0.astype(jnp.float64)
     fnorm = norms.masked_scaled_l2(f, unknown, hx, hy)
+    # relative scale max(||f||, ||r(u0)||), measured BEFORE the FMG start:
+    # boundary-driven problems have f = 0
+    r_init = st_mod.residual(st_hi, u, f, unknown, sync0)
+    scale = jnp.maximum(fnorm, norms.scaled_l2(r_init, hx, hy))
     tol_eff = jnp.where(
-        jnp.asarray(cfg.rtol), cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol
+        jnp.asarray(cfg.rtol), cfg.tol * jnp.maximum(scale, 1e-300), cfg.tol
     )
 
     if use_fmg:
@@ -129,6 +133,7 @@ def adaptive_solve(
     *,
     a=None,
     lam=0.0,
+    domain=None,
     policy: PrecisionPolicy = PrecisionPolicy(mode=Precision.ADAPTIVE),
     cfg: MultigridConfig = MultigridConfig(),
     start: Precision = Precision.FP32,
@@ -145,13 +150,19 @@ def adaptive_solve(
     hierarchies: Dict[Precision, Any] = {}
     history: list = []
     switches: list = []
+    # per-stage residual segments: a convergence factor over a mixed
+    # bf16->fp32->IR history is not a meaningful rho (VERDICT.md weak #6),
+    # so factors are reported per stage and the headline factor is the
+    # final stage's.
+    segments: list = []
     u = u0
     total_iters = 0
 
     def get_levels(p: Precision):
         if p not in hierarchies:
             hierarchies[p] = mg_mod.build_hierarchy(
-                grid, spec, a=a, lam=lam, dtype=p.dtype, cfg=cfg
+                grid, spec, a=a, lam=lam, domain=domain, dtype=p.dtype,
+                cfg=cfg
             )
         return hierarchies[p]
 
@@ -164,6 +175,7 @@ def adaptive_solve(
         stage_cfg = cfg.replace(tol=stage_tol, max_iterations=chunk)
         u, info = mg_mod.mg_solve(levels, f, u, stage_cfg)
         history.extend(info["history"][1:].tolist())
+        segments.append((p.value, "cycle", info["history"]))
         total_iters += info["iterations"]
 
         rel = info["residual_norm"] / max(info["rhs_norm"], 1e-300)
@@ -191,19 +203,30 @@ def adaptive_solve(
                         max_outer=max(1, cfg.max_iterations - total_iters),
                     )
                     history.extend(info["history"][1:].tolist())
+                    segments.append(("ir", "ir_outer", info["history"]))
                     total_iters += info["iterations"]
                     break
                 stage_idx += 1
                 switches.append((total_iters, _STAGE_ORDER[stage_idx].value))
 
     hist = np.asarray([h for h in history if np.isfinite(h)])
+    stage_factors = [
+        {"stage": label, "rho_kind": kind,
+         "factor": convergence_factor(seg_hist)}
+        for label, kind, seg_hist in segments
+    ]
     return u, {
         "iterations": total_iters,
         "residual_norm": float(hist[-1]) if hist.size else float("nan"),
         "rhs_norm": info["rhs_norm"],
         "history": hist,
         "converged": bool(info["converged"]),
-        "convergence_factor": convergence_factor(hist),
+        # headline factor = the FINAL stage's (a factor over the mixed
+        # multi-stage history is not a meaningful rho); per-stage factors in
+        # 'stage_factors'
+        "convergence_factor": (stage_factors[-1]["factor"]
+                               if stage_factors else float("nan")),
+        "stage_factors": stage_factors,
         "precision_switches": switches,
         "method": "adaptive",
     }

@@ -119,8 +119,35 @@ def main():
         out["weak"] = rows
 
     Path(args.out).mkdir(parents=True, exist_ok=True)
+    virtual = "cpu" in str(devices[0]).lower() or len(set(
+        getattr(d, "process_index", 0) for d in devices)) == 1 and \
+        jax.default_backend() == "cpu"
+    out["virtual_mesh"] = bool(virtual)
     (Path(args.out) / "scaling_report.json").write_text(
         json.dumps(out, indent=2, default=float))
+
+    lines = ["# Scaling report", "", f"device: `{devices[0]}`", ""]
+    if virtual:
+        lines += [
+            "**Virtual-mesh run (N devices emulated on ONE physical CPU "
+            "core).** These rows exercise the partitioned code path for "
+            "regression detection only — 'efficiency' here measures "
+            "emulation overhead, NOT hardware scaling (all N shards "
+            "timeshare one core, so efficiency necessarily falls like "
+            "1/N). Real weak/strong scaling requires a multi-chip slice; "
+            "the identical script measures it there unchanged.", "",
+        ]
+    for mode in ("strong", "weak"):
+        if mode not in out:
+            continue
+        lines += [f"## {mode}", "",
+                  "| devices | n | ms/cycle | efficiency |", "|---|---|---|---|"]
+        for c, r in out[mode].items():
+            n = r.get("n", args.base)
+            lines.append(f"| {c} | {n} | {r['s_per_cycle']*1e3:.2f} | "
+                         f"{r['efficiency']:.1%} |")
+        lines.append("")
+    (Path(args.out) / "scaling_report.md").write_text("\n".join(lines))
     print(json.dumps({k: v for k, v in out.items() if k != "device"},
                      default=float)[:500])
 

@@ -28,6 +28,17 @@ BATCHES = [
      "tests/integration"],
 ]
 
+# auto-append any test file not explicitly batched (new files must never be
+# silently skipped)
+_listed = {p for batch in BATCHES for p in batch}
+_extra_batch = sorted(
+    str(p.relative_to(ROOT))
+    for p in (ROOT / "tests" / "unit").glob("test_*.py")
+    if str(p.relative_to(ROOT)) not in _listed
+)
+if _extra_batch:
+    BATCHES.append(_extra_batch)
+
 
 def main() -> int:
     extra = sys.argv[1:]

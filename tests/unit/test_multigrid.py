@@ -149,3 +149,67 @@ def test_history_monotone_and_rho():
     h = info["history"]
     assert np.all(np.diff(h) < 0)
     assert 0 < info["convergence_factor"] < 1
+
+
+CFG = CFG_RBGS
+
+
+class TestIrregularDomains:
+    """L-shaped / corner-singularity / boundary-layer problems
+    (reference applications/test_problems.py:161-295; VERDICT.md missing #4)."""
+
+    def test_boundary_layer_order2(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.poisson import (
+            convergence_study)
+        st = convergence_study(P.boundary_layer_problem, [33, 65, 129],
+                               precision="fp64", cfg=CFG)
+        assert st["converged"]
+        assert st["order_l2"] > 1.85
+
+    def test_corner_singularity_reduced_order(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.poisson import (
+            convergence_study)
+        st = convergence_study(P.corner_singularity_problem, [33, 65, 129],
+                               precision="fp64", cfg=CFG)
+        assert st["converged"]
+        # H^(1+2/3) regularity: order between 4/3 and 2
+        assert 1.2 < st["order_l2"] < 2.0
+        # h-independent iterations despite the singularity
+        assert max(st["iterations"]) - min(st["iterations"]) <= 2
+
+    def test_l_shaped_domain_solve(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.poisson import (
+            convergence_study)
+        st = convergence_study(P.l_shaped_problem, [33, 65, 129],
+                               precision="fp64", cfg=CFG)
+        assert st["converged"]
+        assert 1.1 < st["order_l2"] < 1.6  # ~4/3 for the 3pi/2 corner
+        assert max(st["iterations"]) - min(st["iterations"]) <= 2
+
+    def test_l_shaped_solution_zero_in_cut(self):
+        """Nodes strictly inside the removed quadrant never change."""
+        import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+        prob = P.l_shaped_problem(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    domain=prob.domain, cfg=CFG)
+        f = prob.rhs(jnp.float64)
+        u, info = mg.mg_solve(levels, f, prob.initial_guess(jnp.float64), CFG)
+        assert info["converged"]
+        un = np.asarray(u)
+        g = prob.grid
+        X, Y = g.coordinates(padded=True)
+        cut_open = (X > 0.5 + 1e-9) & (Y > 0.5 + 1e-9) \
+            & (X <= 1.0 + 1e-9) & (Y <= 1.0 + 1e-9)
+        assert np.max(np.abs(un[cut_open])) == 0.0
+
+    def test_boundary_driven_tolerance_scale(self):
+        """f = 0 problems must still report converged (relative tolerance
+        falls back to the initial-residual scale)."""
+        import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+        prob = P.corner_singularity_problem(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        u, info = mg.mg_solve(levels, prob.rhs(jnp.float64),
+                              prob.initial_guess(jnp.float64), CFG)
+        assert info["converged"]
+        assert info["iterations"] < 15
