@@ -67,7 +67,7 @@ def shift_hierarchy3d(levels, lam):
         out.append(mg3.Level3D(
             stencil=st3.Stencil3D(c=st.c + lam_t, w=st.w, e=st.e, s=st.s,
                                   n=st.n, b=st.b, t=st.t),
-            grid=lev.grid, dtype=lev.dtype,
+            grid=lev.grid, dtype=lev.dtype, spec=lev.spec,
         ))
     return tuple(out)
 

@@ -9,6 +9,8 @@ from typing import Any, Callable, Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.bc import BCKind
+from ..core.bc3d import BoundarySpec3D, SIDES3D
 from ..core.grid3d import Grid3D
 from ..ops import stencil3d as st3
 
@@ -34,15 +36,23 @@ class Problem3D:
     lam: Any = 0.0
     exact: Any = None
     dirichlet_values: Any = None
+    spec: BoundarySpec3D = BoundarySpec3D()
+    bc_values: Optional[Dict[str, Any]] = None  # Neumann/Robin g per face
 
     def rhs(self, dtype=jnp.float32):
-        return jnp.asarray(self.f, dtype)
+        f = jnp.asarray(self.f, dtype)
+        if self.bc_values:
+            f = f + st3.bc_rhs_correction3d(self.grid, self.spec,
+                                            self.bc_values, dtype)
+        return f
 
     def initial_guess(self, dtype=jnp.float32):
         u0 = jnp.zeros(self.grid.shape_padded, dtype)
-        if self.dirichlet_values is not None:
+        has_dirichlet = any(self.spec.side(s).kind == BCKind.DIRICHLET
+                            for s in SIDES3D)
+        if self.dirichlet_values is not None and has_dirichlet:
             g = self.grid
-            fixed = st3.logical_mask3d(g) & ~st3.unknown_mask3d(g)
+            fixed = st3.logical_mask3d(g) & ~st3.unknown_mask3d(g, self.spec)
             u0 = jnp.where(fixed, jnp.asarray(self.dirichlet_values, dtype), u0)
         return u0
 
@@ -56,7 +66,8 @@ class Problem3D:
         }
 
 
-def from_callables3(name, grid, *, u_exact=None, f, a=None, lam=0.0) -> Problem3D:
+def from_callables3(name, grid, *, u_exact=None, f, a=None, lam=0.0,
+                    spec=BoundarySpec3D(), bc_values=None) -> Problem3D:
     exact = eval_padded3(grid, u_exact) if u_exact is not None else None
     return Problem3D(
         name=name, grid=grid,
@@ -64,6 +75,7 @@ def from_callables3(name, grid, *, u_exact=None, f, a=None, lam=0.0) -> Problem3
         a=eval_padded3(grid, a) if a is not None else None,
         lam=lam, exact=exact,
         dirichlet_values=exact,
+        spec=spec, bc_values=bc_values,
     )
 
 
@@ -135,3 +147,59 @@ CATALOGUE3D = {
     "helmholtz": helmholtz3d_mms,
     "variable_coefficient": varcoef3d_mms,
 }
+
+
+def neumann3d_test(n: int) -> Problem3D:
+    """Mixed Dirichlet/Neumann box: u = sin(pi x) sin(pi y) cos(pi z) has
+    du/dz = 0 at z = 0 and z = 1, so bottom/top are homogeneous Neumann and
+    the four lateral faces carry Dirichlet data from the exact solution.
+    Order-2 MMS for the 3D ghost elimination (the reference had no 3D BCs
+    at all, reference applications/poisson_solver.py:483-557)."""
+    from ..core.bc3d import mixed3d
+
+    grid = Grid3D(n, n, n)
+    spec = mixed3d(bottom="neumann", top="neumann")
+    return from_callables3(
+        "neumann3d_test", grid,
+        u_exact=lambda X, Y, Z: np.sin(PI * X) * np.sin(PI * Y) * np.cos(PI * Z),
+        f=lambda X, Y, Z: 3 * PI**2 * np.sin(PI * X) * np.sin(PI * Y)
+        * np.cos(PI * Z),
+        spec=spec,
+        bc_values={"bottom": 0.0, "top": 0.0},
+    )
+
+
+def periodic3d_helmholtz(n: int) -> Problem3D:
+    """Fully-periodic box, definite Helmholtz (-lap + 1):
+    u = sin(2 pi x) sin(2 pi y) sin(2 pi z), f = (12 pi^2 + 1) u."""
+    from ..core.bc import BCSide
+    from ..core.bc3d import BoundarySpec3D as BS3
+
+    side = BCSide(kind=BCKind.PERIODIC)
+    spec = BS3(*(side,) * 6)
+    grid = Grid3D(n, n, n)
+    return from_callables3(
+        "periodic3d_helmholtz", grid,
+        u_exact=lambda X, Y, Z: np.sin(2 * PI * X) * np.sin(2 * PI * Y)
+        * np.sin(2 * PI * Z),
+        f=lambda X, Y, Z: (12 * PI**2 + 1.0) * np.sin(2 * PI * X)
+        * np.sin(2 * PI * Y) * np.sin(2 * PI * Z),
+        lam=1.0,
+        spec=spec,
+    )
+
+
+def anisotropic3d_z(n: int, aspect: float = 0.1) -> Problem3D:
+    """z-stretched box (hz = aspect * hx): point smoothers stall on the
+    strong z coupling; the zebra line-z smoother restores textbook rates
+    (solvers/multigrid3d.smooth3d 'line_z')."""
+    grid = Grid3D(n, n, n, domain=(0, 1, 0, 1, 0, aspect))
+    kz = 1.0 / aspect
+
+    def u(X, Y, Z):
+        return np.sin(PI * X) * np.sin(PI * Y) * np.sin(PI * kz * Z)
+
+    def f(X, Y, Z):
+        return (2 + kz**2) * PI**2 * u(X, Y, Z)
+
+    return from_callables3(f"anisotropic3d_z{aspect:g}", grid, u_exact=u, f=f)

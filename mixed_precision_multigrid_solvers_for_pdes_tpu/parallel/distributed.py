@@ -59,3 +59,16 @@ def sharded_solve(
                          min_points_per_device=min_points_per_device)
     constrain = make_constrainer(mesh, min_points_per_device)
     return mg_mod.mg_solve(levels, f, u0, cfg, constrain=constrain, **kw)
+
+
+def make_constrainer3d(mesh, min_points_per_device: int = 16):
+    """3D constrainer: (x, y) block-partitioned, z local (lane axis +
+    line-smoother direction stay on-device)."""
+
+    def constrain(arr, lev):
+        return jax.lax.with_sharding_constraint(
+            arr, mesh_mod.grid_sharding3d(mesh, lev.grid,
+                                          min_points_per_device)
+        )
+
+    return constrain

@@ -72,6 +72,21 @@ def grid_sharding(mesh: Mesh, grid: Grid, min_points_per_device: int = 16):
     return NamedSharding(mesh, P(spec_x, spec_y))
 
 
+def grid_sharding3d(mesh: Mesh, grid3d, min_points_per_device: int = 16):
+    """NamedSharding for a 3D level: block-partition (x, y) over the mesh,
+    keep z (the lane axis) local — stencil halos then ride the mesh in x/y
+    only, and every z-line (the line-smoother solve direction) stays on one
+    device."""
+    px, py, pz = grid3d.shape_padded
+    mx = mesh.shape["x"]
+    my = mesh.shape["y"]
+    spec_x = "x" if grid3d.nx // mx >= min_points_per_device and px % mx == 0 \
+        else None
+    spec_y = "y" if grid3d.ny // my >= min_points_per_device and py % my == 0 \
+        else None
+    return NamedSharding(mesh, P(spec_x, spec_y, None))
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 

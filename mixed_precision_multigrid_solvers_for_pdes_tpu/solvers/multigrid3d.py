@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import bc3d as bc3
+from ..core.bc import BCKind
+from ..core.bc3d import BoundarySpec3D
 from ..core.grid3d import Grid3D
 from ..core.precision import as_dtype
 from ..ops import stencil3d as st3, transfer3d
@@ -27,14 +30,19 @@ class Level3D:
     stencil: Stencil3D
     grid: Grid3D
     dtype: Any
+    spec: BoundarySpec3D = BoundarySpec3D()
 
     @property
     def unknown(self):
-        return st3.unknown_mask3d(self.grid)
+        return st3.unknown_mask3d(self.grid, self.spec)
+
+    @property
+    def sync(self):
+        return bc3.periodic_sync3d(self.grid, self.spec)
 
 
 jax.tree_util.register_dataclass(
-    Level3D, data_fields=("stencil",), meta_fields=("grid", "dtype")
+    Level3D, data_fields=("stencil",), meta_fields=("grid", "dtype", "spec")
 )
 
 
@@ -50,6 +58,7 @@ def _sample_coarse3(field, fine: Grid3D, coarse: Grid3D):
 
 def build_hierarchy3d(
     grid: Grid3D,
+    spec: BoundarySpec3D = BoundarySpec3D(),
     *,
     a=None,
     lam=0.0,
@@ -63,8 +72,9 @@ def build_hierarchy3d(
     levels = []
     a_l, lam_l = a, lam
     for g in grids:
-        st = st3.make_stencil3d(g, a=a_l, lam=lam_l, dtype=dt)
-        levels.append(Level3D(stencil=st, grid=g, dtype=np.dtype(dt)))
+        st = st3.make_stencil3d(g, spec, a=a_l, lam=lam_l, dtype=dt)
+        levels.append(Level3D(stencil=st, grid=g, dtype=np.dtype(dt),
+                              spec=spec))
         if g.can_coarsen():
             gc = g.coarsen()
             a_l = _sample_coarse3(a_l, g, gc)
@@ -84,24 +94,72 @@ def _parity3(pshape):
 
 
 def smooth3d(st: Stencil3D, u, f, unknown, *, method: str = "rbgs",
-             sweeps: int = 2, omega: float = 1.0):
+             sweeps: int = 2, omega: float = 1.0, sync=None,
+             reverse: bool = False):
     om = jnp.asarray(omega, u.dtype)
     if method == "jacobi":
 
         def body(_, u):
+            if sync is not None:
+                u = sync(u)
             r = f - st3.apply(st, u)
             return jnp.where(unknown, u + om * r / st.c, u)
 
-    else:  # rbgs / sor
+    elif method in ("rbgs", "gauss_seidel", "red_black", "sor", "rbgs_rev"):
         red = _parity3(u.shape)
+        rev = reverse or method == "rbgs_rev"
+        first, second = (~red, red) if rev else (red, ~red)
 
         def color(u, mask):
+            if sync is not None:
+                u = sync(u)
             u_gs = (f + st3.neighbor_sum(st, u)) / st.c
             return jnp.where(mask & unknown, u + om * (u_gs - u), u)
 
         def body(_, u):
-            u = color(u, red)
-            return color(u, ~red)
+            u = color(u, first)
+            return color(u, second)
+
+    elif method in ("line_z", "zebra_z"):
+        # zebra line relaxation along z (the lane axis): exact batched
+        # tridiagonal solves via PCR; x/y couplings lagged. The 3D analogue
+        # of the 2D ADI/zebra smoothers (ops/smooth.py:86-161) — essential
+        # for z-anisotropic problems and stretched grids.
+        from ..ops.tridiag import tridiagonal_solve
+
+        ij = (jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+              + jax.lax.broadcasted_iota(jnp.int32, u.shape, 1))
+        even_lines = (ij & 1) == 0
+        dtype = u.dtype
+        ones = jnp.ones(u.shape, dtype)
+        zero = jnp.zeros((), dtype)
+
+        def line_update(u, mask):
+            if sync is not None:
+                u = sync(u)
+            rhs = (f + st.w * jnp.roll(u, 1, 0) + st.e * jnp.roll(u, -1, 0)
+                   + st.s * jnp.roll(u, 1, 1) + st.n * jnp.roll(u, -1, 1))
+            lo_unknown = jnp.roll(unknown, 1, 2)
+            hi_unknown = jnp.roll(unknown, -1, 2)
+            lo_c = st.b * ones
+            hi_c = st.t * ones
+            rhs = rhs + jnp.where(lo_unknown, zero,
+                                  lo_c * jnp.roll(u, 1, 2))
+            rhs = rhs + jnp.where(hi_unknown, zero,
+                                  hi_c * jnp.roll(u, -1, 2))
+            dl = jnp.where(unknown & lo_unknown, -lo_c, zero)
+            du = jnp.where(unknown & hi_unknown, -hi_c, zero)
+            rhs = jnp.where(unknown, rhs, zero)
+            d = jnp.where(unknown, st.c * ones, jnp.ones((), dtype))
+            z = tridiagonal_solve(dl, d, du, rhs, axis=2)
+            return jnp.where(mask & unknown, z, u)
+
+        def body(_, u):
+            u = line_update(u, even_lines)
+            return line_update(u, ~even_lines)
+
+    else:
+        raise ValueError(f"unknown 3D smoother {method!r}")
 
     if sweeps <= 2:
         for k in range(sweeps):
@@ -114,39 +172,63 @@ def smooth3d(st: Stencil3D, u, f, unknown, *, method: str = "rbgs",
 # cycles + solve
 # --------------------------------------------------------------------------
 
-def _cycle3(levels, u, f, lvl: int, cfg: MultigridConfig, cycle_type: str):
+def _cycle3(levels, u, f, lvl: int, cfg: MultigridConfig, cycle_type: str,
+            constrain=None):
     lev = levels[lvl]
     unknown = lev.unknown
+    sync = lev.sync
     if lvl == len(levels) - 1:
         return smooth3d(lev.stencil, u, f, unknown, method="rbgs",
-                        sweeps=cfg.coarse_sweeps, omega=1.0)
+                        sweeps=cfg.coarse_sweeps, omega=1.0, sync=sync)
 
     u = smooth3d(lev.stencil, u, f, unknown, method=cfg.smoother,
-                 sweeps=cfg.pre_sweeps, omega=cfg.omega)
-    r = st3.residual(lev.stencil, u, f, unknown)
+                 sweeps=cfg.pre_sweeps, omega=cfg.omega, sync=sync)
+    r = st3.residual(lev.stencil, u, f, unknown, sync)
     nxt = levels[lvl + 1]
+    plain = all(
+        lev.spec.side(s).kind in (BCKind.DIRICHLET, BCKind.PERIODIC)
+        for s in bc3.SIDES3D
+    )
+    wrap = tuple(
+        lev.spec.side(s).kind == BCKind.PERIODIC
+        for s in ("west", "south", "bottom")
+    )
+    if any(wrap):
+        r = sync(r)
     fc = transfer3d.restrict3d(
         r, nxt.grid.nx, nxt.grid.ny, nxt.grid.nz, nxt.grid.shape_padded,
-        method="full_weighting", dtype=nxt.dtype,
+        method="full_weighting", boundary="zero" if plain else "reflect",
+        dtype=nxt.dtype, wrap=wrap,
     )
+    if constrain is not None:
+        fc = constrain(fc, nxt)
+    if not plain:
+        fc = jnp.where(nxt.unknown, fc, jnp.zeros((), fc.dtype))
     ec = jnp.zeros(nxt.grid.shape_padded, nxt.dtype)
     branch = cycle_type if lvl + 1 < cfg.w_depth else "V"
-    ec = _cycle3(levels, ec, fc, lvl + 1, cfg, branch)
+    ec = _cycle3(levels, ec, fc, lvl + 1, cfg, branch, constrain)
     if cycle_type == "W" and branch == "W":
-        ec = _cycle3(levels, ec, fc, lvl + 1, cfg, "W")
+        ec = _cycle3(levels, ec, fc, lvl + 1, cfg, "W", constrain)
+    if any(wrap):
+        ec = nxt.sync(ec)
     e = transfer3d.prolong3d(
         ec, nxt.grid.nx, nxt.grid.ny, nxt.grid.nz,
         lev.grid.nx, lev.grid.ny, lev.grid.nz, lev.grid.shape_padded,
         dtype=lev.dtype,
     )
+    if constrain is not None:
+        e = constrain(e, lev)
     u = jnp.where(unknown, u + e, u)
     u = smooth3d(lev.stencil, u, f, unknown, method=cfg.smoother,
-                 sweeps=cfg.post_sweeps, omega=cfg.omega)
+                 sweeps=cfg.post_sweeps, omega=cfg.omega, sync=sync,
+                 reverse=cfg.symmetric and cfg.smoother in
+                 ("rbgs", "gauss_seidel", "red_black", "sor"))
     return u
 
 
-def mg_cycle3d(levels, u, f, cfg: MultigridConfig = MultigridConfig()):
-    return _cycle3(levels, u, f, 0, cfg, cfg.cycle)
+def mg_cycle3d(levels, u, f, cfg: MultigridConfig = MultigridConfig(),
+               constrain=None):
+    return _cycle3(levels, u, f, 0, cfg, cfg.cycle, constrain)
 
 
 def _norm3(r, g: Grid3D):
@@ -154,18 +236,20 @@ def _norm3(r, g: Grid3D):
     return jnp.sqrt(g.hx * g.hy * g.hz * jnp.sum(r64 * r64))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _solve3_jit(levels, f, u0, cfg: MultigridConfig):
+@partial(jax.jit, static_argnames=("cfg", "constrain"))
+def _solve3_jit(levels, f, u0, cfg: MultigridConfig, constrain=None):
     lev0 = levels[0]
     unknown = lev0.unknown
+    sync0 = lev0.sync
     g = lev0.grid
     f = f.astype(lev0.dtype)
     u = u0.astype(lev0.dtype)
     fnorm = _norm3(jnp.where(unknown, f, jnp.zeros((), f.dtype)), g)
-    tol_eff = jnp.where(jnp.asarray(cfg.rtol),
-                        cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol)
-    r0 = st3.residual(lev0.stencil, u, f, unknown)
+    r0 = st3.residual(lev0.stencil, u, f, unknown, sync0)
     rnorm0 = _norm3(r0, g)
+    tol_eff = jnp.where(
+        jnp.asarray(cfg.rtol),
+        cfg.tol * jnp.maximum(jnp.maximum(fnorm, rnorm0), 1e-300), cfg.tol)
     hist = jnp.full((cfg.max_iterations + 1,), jnp.nan, jnp.float64)
     hist = hist.at[0].set(rnorm0)
 
@@ -175,8 +259,8 @@ def _solve3_jit(levels, f, u0, cfg: MultigridConfig):
 
     def body(c):
         u, k, rnorm, hist = c
-        u = mg_cycle3d(levels, u, f, cfg)
-        r = st3.residual(lev0.stencil, u, f, unknown)
+        u = mg_cycle3d(levels, u, f, cfg, constrain)
+        r = st3.residual(lev0.stencil, u, f, unknown, sync0)
         rnorm = _norm3(r, g)
         hist = hist.at[k + 1].set(rnorm)
         return (u, k + 1, rnorm, hist)
@@ -184,6 +268,8 @@ def _solve3_jit(levels, f, u0, cfg: MultigridConfig):
     u, k, rnorm, hist = jax.lax.while_loop(
         cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist)
     )
+    if sync0 is not None:
+        u = sync0(u)
     # single packed stats buffer -> single host readback (see multigrid.py)
     stats = jnp.stack([
         k.astype(jnp.float64), rnorm, rnorm0, fnorm,
@@ -197,14 +283,16 @@ def _ir3_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
              max_outer: int):
     lev0 = levels[0]
     unknown = lev0.unknown
+    sync0 = lev0.sync
     g = lev0.grid
     lo = lev0.dtype
     f = f.astype(jnp.float64)
     u = u0.astype(jnp.float64)
     fnorm = _norm3(jnp.where(unknown, f, jnp.zeros((), f.dtype)), g)
-    tol_eff = jnp.where(jnp.asarray(cfg.rtol),
-                        cfg.tol * jnp.maximum(fnorm, 1e-300), cfg.tol)
-    rnorm0 = _norm3(st3.residual(st_hi, u, f, unknown), g)
+    rnorm0 = _norm3(st3.residual(st_hi, u, f, unknown, sync0), g)
+    tol_eff = jnp.where(
+        jnp.asarray(cfg.rtol),
+        cfg.tol * jnp.maximum(jnp.maximum(fnorm, rnorm0), 1e-300), cfg.tol)
     hist = jnp.full((max_outer + 1,), jnp.nan, jnp.float64)
     hist = hist.at[0].set(rnorm0)
 
@@ -214,13 +302,13 @@ def _ir3_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
 
     def body(c):
         u, k, rnorm, hist = c
-        r = st3.residual(st_hi, u, f, unknown)
+        r = st3.residual(st_hi, u, f, unknown, sync0)
         e = jnp.zeros(g.shape_padded, lo)
         r_lo = r.astype(lo)
         for _ in range(inner_cycles):
             e = mg_cycle3d(levels, e, r_lo, cfg)
         u = jnp.where(unknown, u + e.astype(jnp.float64), u)
-        rnorm = _norm3(st3.residual(st_hi, u, f, unknown), g)
+        rnorm = _norm3(st3.residual(st_hi, u, f, unknown, sync0), g)
         hist = hist.at[k + 1].set(rnorm)
         return (u, k + 1, rnorm, hist)
 
@@ -261,10 +349,12 @@ def mg_solve3d(
     f,
     u0=None,
     cfg: MultigridConfig = MultigridConfig(),
+    *,
+    constrain=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     if u0 is None:
         u0 = jnp.zeros(levels[0].grid.shape_padded, levels[0].dtype)
     from .multigrid import _unpack_info
 
-    u, packed = _solve3_jit(levels, f, u0, cfg)
+    u, packed = _solve3_jit(levels, f, u0, cfg, constrain)
     return u, _unpack_info(np.asarray(packed))

@@ -66,25 +66,48 @@ def heat_stepping_bench(n: int, n_steps: int) -> dict:
 
 
 def poisson3d_bench(n: int, runs: int = 3) -> dict:
-    """3D mixed-precision solve (capability the reference stubbed,
-    reference applications/poisson_solver.py:483)."""
+    """3D solve bench (capability the reference stubbed,
+    reference applications/poisson_solver.py:483).
+
+    <= 257^3: mixed precision (fp32 cycles + f64-outer iterative refinement,
+    tol 1e-9). 513^3: pure fp32 to 3.6e-3 relative residual — the floor set by
+    storing u in fp32 (r(u_fp32) ~ A(eps32 u) ~ 3.5e-3 relative, measured);
+    the SOLUTION still reaches the ~4e-6 discretization-level L2 error. The
+    f64-outer IR path OOMs the single chip at this size (measured 16.77 G of
+    15.75 G HBM); multi-chip sharding is the real answer for both memory and
+    accuracy at 513^3+ (BASELINE config 5)."""
     from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems3d as P3
     from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid3d import (
         build_hierarchy3d,
         ir_solve3d,
+        mg_solve3d,
     )
 
     prob = P3.poisson3d_mms_sinsinsin(n)
-    cfg = MultigridConfig(smoother="rbgs", omega=1.0, tol=1e-9)
+    big = n >= 513
+    cfg = MultigridConfig(smoother="rbgs", omega=1.0,
+                          tol=3.6e-3 if big else 1e-9)
     levels = build_hierarchy3d(prob.grid, dtype="float32", cfg=cfg)
-    f = prob.rhs(jnp.float64)
-    u, info = ir_solve3d(levels, f, None, cfg)  # compile + converge check
-    t0 = time.perf_counter()
+    if big:
+        f = prob.rhs(jnp.float32)
+
+        def solve():
+            return mg_solve3d(levels, f, None, cfg)
+    else:
+        f = prob.rhs(jnp.float64)
+
+        def solve():
+            return ir_solve3d(levels, f, None, cfg)
+
+    u, info = solve()  # compile + converge check
+    wall = float("inf")
     for _ in range(runs):
-        u, info = ir_solve3d(levels, f, None, cfg)
-    wall = (time.perf_counter() - t0) / runs
+        t0 = time.perf_counter()
+        u, info = solve()
+        wall = min(wall, time.perf_counter() - t0)
     return {
         "n": n,
+        "precision": "fp32" if big else "mixed_ir",
         "wall_s": wall,
         "dof_per_s": (n - 2) ** 3 / wall,
         "iterations": info["iterations"],
@@ -117,9 +140,11 @@ def main():
         heat.append(heat_stepping_bench(1025, 100))
     report["heat_stepping"] = heat
 
-    report["poisson3d"] = [poisson3d_bench(65 if args.quick else 129)]
-    if not args.quick:
-        report["poisson3d"].append(poisson3d_bench(257))
+    if args.quick:
+        report["poisson3d"] = [poisson3d_bench(65)]
+    else:
+        # BASELINE config 5 ladder: 257^3 standard + 513^3 stretch
+        report["poisson3d"] = [poisson3d_bench(257), poisson3d_bench(513)]
 
     if args.baselines:
         from mixed_precision_multigrid_solvers_for_pdes_tpu.validation import (
@@ -139,6 +164,13 @@ def main():
     for h in heat:
         md.append(f"| {h['n']} | {h['steps']} | {h['wall_s']:.3f} | "
                   f"{h['steps_per_s']:.1f} | {h['final_l2_error']:.2e} |")
+    md += ["", "## 3D Poisson (the reference's 3D solvers were stubs)", "",
+           "| n^3 | precision | wall (s) | MDoF/s | iters | l2 error |",
+           "|---|---|---|---|---|---|"]
+    for r in report["poisson3d"]:
+        md.append(f"| {r['n']} | {r['precision']} | {r['wall_s']:.3f} | "
+                  f"{r['dof_per_s'] / 1e6:.1f} | {r['iterations']} | "
+                  f"{r['error_l2']:.2e} |")
     (out / "benchmark_report.md").write_text("\n".join(md))
 
     print(json.dumps({

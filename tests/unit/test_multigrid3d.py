@@ -145,3 +145,98 @@ class TestSolve3D:
             levels, prob.rhs(jnp.float64), prob.initial_guess(jnp.float64), cfg)
         assert info["converged"]
         assert info["convergence_factor"] < 0.15
+
+
+class Test3DBoundaryConditions:
+    """BoundarySpec3D through the whole 3D stack (VERDICT.md next-round #5;
+    the reference had no 3D BCs at all)."""
+
+    def _order(self, factory, sizes=(17, 33)):
+        errs = []
+        iters = []
+        for n in sizes:
+            prob = factory(n)
+            levels = mg3.build_hierarchy3d(prob.grid, prob.spec, a=prob.a,
+                                           lam=prob.lam, dtype="float64",
+                                           cfg=CFG)
+            u, info = mg3.mg_solve3d(levels, prob.rhs(jnp.float64),
+                                     prob.initial_guess(jnp.float64), CFG)
+            assert info["converged"], (factory.__name__, n, info)
+            errs.append(prob.error_norms(u)["l2"])
+            iters.append(info["iterations"])
+        return np.log(errs[0] / errs[1]) / np.log(2), iters
+
+    def test_neumann3d_order2(self):
+        order, iters = self._order(P3.neumann3d_test)
+        assert order > 1.85
+        assert max(iters) - min(iters) <= 2  # h-independent
+
+    def test_periodic3d_order2(self):
+        order, iters = self._order(P3.periodic3d_helmholtz)
+        assert order > 1.85
+
+    def test_line_z_beats_point_smoother_on_anisotropy(self):
+        prob = P3.anisotropic3d_z(33, aspect=0.1)
+        rhos = {}
+        for sm in ("rbgs", "line_z"):
+            cfg = CFG.replace(smoother=sm, max_iterations=40)
+            levels = mg3.build_hierarchy3d(prob.grid, prob.spec,
+                                           dtype="float64", cfg=cfg)
+            u, info = mg3.mg_solve3d(levels, prob.rhs(jnp.float64),
+                                     prob.initial_guess(jnp.float64), cfg)
+            rhos[sm] = info["convergence_factor"]
+        assert rhos["line_z"] < 0.1          # textbook rate restored
+        assert rhos["rbgs"] > 0.5            # point smoother stalls
+
+    def test_robin3d_solves(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core.bc import (
+            BCSide, BCKind)
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core.bc3d import (
+            mixed3d)
+        # u = x^2 + y^2 + z^2, f = -6; Robin on top: u + du/dz = x^2+y^2+3
+        spec = mixed3d(top=BCSide(kind=BCKind.ROBIN, alpha=1.0, beta=1.0))
+        g = Grid3D(17, 17, 17)
+        prob = P3.from_callables3(
+            "robin3d", g,
+            u_exact=lambda X, Y, Z: X**2 + Y**2 + Z**2,
+            f=lambda X, Y, Z: -6.0 + 0.0 * X,
+            spec=spec,
+            bc_values={"top": lambda: None},  # replaced below
+        )
+        X, Y, Z = g.coordinates(padded=True)
+        gvals = np.zeros(g.shape_padded)
+        gvals[:, :, g.nz - 1] = (X**2 + Y**2 + 3.0)[:, :, g.nz - 1]
+        prob = type(prob)(**{**prob.__dict__,
+                             "bc_values": {"top": gvals}})
+        levels = mg3.build_hierarchy3d(g, spec, dtype="float64", cfg=CFG)
+        u, info = mg3.mg_solve3d(levels, prob.rhs(jnp.float64),
+                                 prob.initial_guess(jnp.float64), CFG)
+        assert info["converged"]
+        # one-sided Robin elimination is O(h)-consistent pointwise but the
+        # global error stays small
+        assert prob.error_norms(u)["l2"] < 5e-2
+
+
+class Test3DSharding:
+    def test_sharded_3d_matches_single(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device mesh")
+        from mixed_precision_multigrid_solvers_for_pdes_tpu import parallel
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.parallel.distributed import (
+            make_constrainer3d)
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.parallel.mesh import (
+            grid_sharding3d)
+
+        mesh = parallel.make_mesh(jax.devices()[:8], shape=(2, 4))
+        prob = P3.poisson3d_mms_sinsinsin(33)
+        levels = mg3.build_hierarchy3d(prob.grid, prob.spec, dtype="float64",
+                                       cfg=CFG)
+        f = prob.rhs(jnp.float64)
+        u_ref, info_ref = mg3.mg_solve3d(levels, f, cfg=CFG)
+        con = make_constrainer3d(mesh, min_points_per_device=4)
+        sh = grid_sharding3d(mesh, levels[0].grid, 4)
+        f_sh = jax.device_put(f, sh)
+        u_sh, info_sh = mg3.mg_solve3d(levels, f_sh, cfg=CFG, constrain=con)
+        assert info_sh["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
