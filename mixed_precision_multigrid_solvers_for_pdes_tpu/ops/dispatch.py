@@ -2,11 +2,24 @@
 
 The Pallas fast path (ops/pallas_kernels) applies when:
 - running on TPU with backend 'auto', or backend 'pallas' is forced,
-- the level's arrays fit in VMEM (whole-grid-resident multi-sweep kernels),
-- the stencil is on the scalar (constant-coefficient, all-Dirichlet) fast path.
+- the stencil is on the scalar (constant-coefficient, all-Dirichlet) fast
+  path (no periodic sync),
+- dtype is fp32/bf16 and the level is big enough for kernel-launch cost to
+  amortize.
 
-Everything else uses the vectorized XLA implementations, which are also the
-numerical ground truth in tests.
+Routing is by measured marginal cost (scripts/kernel_microbench.py, v5e,
+two-K protocol, per RB-GS sweep, fp32):
+
+    size    XLA      whole-grid kernel    strip kernel
+    513^2    9.3 us       2.7 us            (covered by whole-grid)
+    1025^2  31.1 us       (exceeds VMEM)    17.1 us
+    2049^2 160.2 us       (exceeds VMEM)    70.9 us
+
+Round 1 concluded the kernels lose to XLA; that measurement was contaminated
+by the ~27 ms fixed per-execution cost of the axon tunnel. The XLA
+implementations remain the numerical ground truth in tests and cover every
+configuration the kernels gate out (variable coefficients, Neumann/Robin/
+periodic, line smoothers, f64).
 """
 
 from __future__ import annotations
@@ -16,12 +29,9 @@ import jax.numpy as jnp
 
 from . import smooth as smooth_mod
 
-# VMEM budget for the whole-grid-resident kernels. Empirically on v5e the
-# multisweep kernel compiles up to ~2MB arrays (u, f, out, fori double-buffers
-# ~6 live copies in 16MB VMEM); larger fine levels take the XLA path until the
-# tiled kernel lands.
-_VMEM_BUDGET = 12 * 1024 * 1024
-_LIVE_COPIES = 6
+# below this, per-call kernel-launch overhead rivals the work itself and the
+# whole level is a handful of XLA fusions anyway (coarse levels)
+_MIN_PALLAS_BYTES = 64 * 1024
 
 
 def _on_tpu() -> bool:
@@ -34,20 +44,15 @@ def _on_tpu() -> bool:
 def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bool:
     if method not in ("jacobi", "rbgs", "gauss_seidel", "red_black", "sor"):
         return False  # line/ADI smoothers are XLA-only (tridiagonal_solve)
-    if backend in ("xla", "auto"):
-        # Measured on v5e (k=64 chained cycles, dispatch overhead subtracted):
-        # full-depth 1025^2 V(2,2) cycle is 2.5 ms on the XLA path vs 9.5 ms
-        # with the VMEM-resident multisweep kernel — Mosaic's jnp.roll lane
-        # rotations lose to XLA's fused stencil pipeline. Until the tiled
-        # double-buffered kernel lands, 'auto' means XLA; 'pallas' forces the
-        # kernel (kept for tests and further kernel work).
+    if backend == "xla":
+        return False
+    if backend == "auto" and not _on_tpu():
         return False
     if jnp.ndim(stencil.c) != 0:
         return False  # variable-coefficient / Neumann path: XLA for now
     if u.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    nbytes = u.size * u.dtype.itemsize
-    return _LIVE_COPIES * nbytes <= _VMEM_BUDGET
+    return u.size * u.dtype.itemsize >= _MIN_PALLAS_BYTES
 
 
 def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
@@ -56,7 +61,14 @@ def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
     if sync is None and _pallas_smooth_ok(stencil, u, lev, backend, method):
         from .pallas_kernels import smooth as psmooth
 
-        return psmooth.multisweep(
+        nbytes = u.size * u.dtype.itemsize
+        if nbytes <= psmooth.WHOLE_GRID_BYTES:
+            return psmooth.multisweep(
+                stencil, u, f,
+                nx=lev.grid.nx, ny=lev.grid.ny,
+                method=method, sweeps=sweeps, omega=omega,
+            )
+        return psmooth.multisweep_strips(
             stencil, u, f,
             nx=lev.grid.nx, ny=lev.grid.ny,
             method=method, sweeps=sweeps, omega=omega,

@@ -12,12 +12,16 @@ blocked variants :214-275, :982-1048). Two kernels:
   analogue of the reference's multi-iteration shared-memory block GS kernel
   (cuda_kernels.py:982-1048), without its stale-halo approximation.
 - ``multisweep_strips`` (tiled + double-buffered): for levels too big for
-  whole-grid VMEM residency (>= 1025^2 fp32). Sublane-dim strips with a
-  2*sweeps-row halo are DMA'd HBM->VMEM with two buffers so the next strip's
-  fetch overlaps the current strip's compute; each strip runs all sweeps in
-  VMEM (halo rows recomputed redundantly, ~6% at strip=128/sweeps=2); the
-  exact interior is written back through double-buffered async copies.
-  Strips span the full lane width, so no lane-dim halos exist.
+  whole-grid VMEM residency (>= 769^2 fp32). Sublane-dim strips with an
+  8-row-aligned halo (>= 2*sweeps rows) are DMA'd HBM->VMEM with two buffers
+  so the next strip's fetch overlaps the current strip's compute; each strip
+  runs all sweeps in VMEM (halo rows recomputed redundantly, 12.5% at
+  strip=128/halo=8); the exact interior is written back through
+  double-buffered async copies, with a statically-offset tail window
+  covering rows the strip grid misses. Strips span the full lane width, so
+  no lane-dim halos exist. Measured marginal per RB-GS sweep fp32 (v5e,
+  vs the XLA path): 17.1 vs 31.1 us at 1025^2, 70.9 vs 160.2 us at 2049^2
+  — and bit-exact against the XLA smoother at fp32.
 
 Red-black GS runs both colors per sweep in-register; masks come from iota,
 costing no memory traffic. bf16 arrays are computed in fp32 in-kernel and
@@ -40,15 +44,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..stencil import Stencil
 
 # Whole-grid residency budget: u, f, out + fori working copies must fit in
-# ~16 MB VMEM. 3 MB arrays (640^2 fp32-ish) leave headroom measured to
-# compile and win; 1025^2 (4.8 MB) takes the strip kernel.
-WHOLE_GRID_BYTES = 3 * 1024 * 1024
+# ~16 MB VMEM. Measured on v5e: 2.02 MB (656x768 fp32) compiles, 2.78 MB
+# (776x896) does not; larger levels take the strip kernel.
+WHOLE_GRID_BYTES = 2_100_000
 
 
 def _sweep_body(f, unknown, red, c, w, e, s, n, omega, method):
@@ -151,38 +156,57 @@ def multisweep(
 # strip-tiled double-buffered kernel
 # ---------------------------------------------------------------------------
 
-def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, in_sems, out_sems,
-                   *, px, py, nx, ny, sweeps, omega, method, strip, halo):
-    """fori over sublane strips; window (strip+2*halo, py) per buffer slot.
+def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f,
+                   in_sems, out_sems, tail_sems,
+                   *, px, py, nx, ny, sweeps, omega, method, strip, halo,
+                   n_loop, t0, wst, wt):
+    """Double-buffered fori over the first ``n_loop`` sublane strips, then a
+    statically-coded tail window for the last strip + row remainder.
 
-    Window starts are clamped to [0, px - win], so edge strips shift their
-    interior offset instead of shrinking (static DMA sizes)."""
+    Mosaic requires every dynamic DMA row offset to be provably divisible by
+    the sublane tiling (8): ``strip`` and ``halo`` are multiples of 8 and
+    offsets carry ``pl.multiple_of`` hints. The tail (rows [t0, px), window
+    [wst, px)) uses python-int offsets, so arbitrary tile-padded row counts
+    (e.g. 1032 = 8*129) need no divisibility from ``strip``."""
     compute_dtype = jnp.float32
     c, w, e, s, n = (p_ref[0, k] for k in range(5))
     om = jnp.asarray(omega, compute_dtype)
     win = strip + 2 * halo
-    n_strips = pl.cdiv(px, strip)
 
     def win_start(k):
-        return jnp.clip(k * strip - halo, 0, px - win)
+        # k == 0 -> 0; else k*strip - halo. Both multiples of 8. All index
+        # math int32: x64 mode would make python-int-derived scalars i64,
+        # which tpu.memref_slice rejects.
+        off = jnp.maximum(jnp.asarray(k * strip - halo, jnp.int32),
+                          _np.int32(0))
+        return pl.multiple_of(off, 8)
 
     def in_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
         st_row = win_start(k)
         return (
             pltpu.make_async_copy(u_hbm.at[pl.ds(st_row, win), :],
-                                  uw.at[slot], in_sems.at[slot, 0]),
+                                  uw.at[slot], in_sems.at[slot, _np.int32(0)]),
             pltpu.make_async_copy(f_hbm.at[pl.ds(st_row, win), :],
-                                  fw.at[slot], in_sems.at[slot, 1]),
+                                  fw.at[slot], in_sems.at[slot, _np.int32(1)]),
         )
 
-    for d in in_dma(0, 0):
-        d.start()
+    def make_masks(gi_start, shape):
+        gi = gi_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        unknown = (gi > 0) & (gi < nx - 1) & (gj > 0) & (gj < ny - 1)
+        red = ((gi + gj) & 1) == 0
+        return unknown, red
 
-    def body(k, _):
+    if n_loop > 0:
+        for d in in_dma(0, 0):
+            d.start()
+
+    def body(k):
         slot = k & 1
         nxt = (k + 1) & 1
 
-        @pl.when(k + 1 < n_strips)
+        @pl.when(k + 1 < n_loop)
         def _():
             for d in in_dma(nxt, k + 1):
                 d.start()
@@ -190,41 +214,75 @@ def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, in_sems, out_sems,
         for d in in_dma(slot, k):
             d.wait()
 
-        st_row = win_start(k)
-        gi = st_row + jax.lax.broadcasted_iota(jnp.int32, (win, py), 0)
-        gj = jax.lax.broadcasted_iota(jnp.int32, (win, py), 1)
-        unknown = (gi > 0) & (gi < nx - 1) & (gj > 0) & (gj < ny - 1)
-        red = ((gi + gj) & 1) == 0
-
+        unknown, red = make_masks(win_start(k), (win, py))
         fval = fw[slot].astype(compute_dtype)
         sweep = _sweep_body(fval, unknown, red, c, w, e, s, n, om, method)
         u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u),
                               uw[slot].astype(compute_dtype))
 
         # exact interior of this strip: global rows [k*strip, k*strip+strip);
-        # the same slot's previous write-back (strip k-2) must land before
-        # its buffer is overwritten
-        off = k * strip - st_row            # in [0, 2*halo]
-
+        # window offset is 0 for the first strip, halo otherwise (Mosaic
+        # can't dynamic_slice a value, so branch over the two static slices).
+        # The same slot's previous write-back (strip k-2) must land before
+        # its buffer is overwritten.
         @pl.when(k >= 2)
         def _():
-            pltpu.make_async_copy(ow.at[slot], o_hbm.at[pl.ds((k - 2) * strip,
+            pltpu.make_async_copy(ow.at[slot], o_hbm.at[pl.ds(jnp.asarray((k - 2) * strip, jnp.int32),
                                                               strip), :],
                                   out_sems.at[slot]).wait()
 
-        ow[slot] = jax.lax.dynamic_slice_in_dim(u, off, strip, 0).astype(
-            ow.dtype)
-        pltpu.make_async_copy(ow.at[slot],
-                              o_hbm.at[pl.ds(k * strip, strip), :],
-                              out_sems.at[slot]).start()
-        return 0
+        @pl.when(k == 0)
+        def _():
+            ow[slot] = u[0:strip].astype(ow.dtype)
 
-    jax.lax.fori_loop(0, n_strips, body, 0)
-    # drain the last (up to) two in-flight output copies; n_strips is static
-    for k in range(max(0, n_strips - 2), n_strips):
-        pltpu.make_async_copy(ow.at[k & 1],
-                              o_hbm.at[pl.ds(k * strip, strip), :],
-                              out_sems.at[k & 1]).wait()
+        @pl.when(k > 0)
+        def _():
+            ow[slot] = u[halo:halo + strip].astype(ow.dtype)
+
+        pltpu.make_async_copy(
+            ow.at[slot],
+            o_hbm.at[pl.ds(pl.multiple_of(k * strip, 8), strip), :],
+            out_sems.at[slot]).start()
+        return (k + _np.int32(1)).astype(jnp.int32)
+
+    # Explicit while_loop with an int32 counter: under x64 (this package
+    # enables it) fori_loop's induction var is int64, and the resulting
+    # in-kernel i64->i32 scalar converts (feeding the int32 iota masks) send
+    # Mosaic's convert-lowering into infinite recursion.
+    jax.lax.while_loop(
+        lambda k: k < n_loop,
+        lambda k: body(k),
+        _np.int32(0),
+    )
+
+    # ---- static tail: rows [t0, px) computed from window [wst, px) ----
+    pltpu.make_async_copy(u_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_u,
+                          tail_sems.at[_np.int32(0)]).start()
+    pltpu.make_async_copy(f_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_f,
+                          tail_sems.at[_np.int32(1)]).start()
+    pltpu.make_async_copy(u_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_u,
+                          tail_sems.at[_np.int32(0)]).wait()
+    pltpu.make_async_copy(f_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_f,
+                          tail_sems.at[_np.int32(1)]).wait()
+    unknown, red = make_masks(wst, (wt, py))
+    fval = tw_f[:].astype(compute_dtype)
+    sweep = _sweep_body(fval, unknown, red, c, w, e, s, n, om, method)
+    u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u),
+                          tw_u[:].astype(compute_dtype))
+    off = t0 - wst
+    tw_u[:] = u.astype(tw_u.dtype)
+    pltpu.make_async_copy(tw_u.at[pl.ds(_np.int32(off), px - t0), :],
+                          o_hbm.at[pl.ds(_np.int32(t0), px - t0), :],
+                          tail_sems.at[_np.int32(0)]).start()
+
+    # drain the loop's last (up to) two in-flight output copies + the tail
+    for k in range(max(0, n_loop - 2), n_loop):
+        pltpu.make_async_copy(ow.at[_np.int32(k & 1)],
+                              o_hbm.at[pl.ds(_np.int32(k * strip), strip), :],
+                              out_sems.at[_np.int32(k & 1)]).wait()
+    pltpu.make_async_copy(tw_u.at[pl.ds(_np.int32(off), px - t0), :],
+                          o_hbm.at[pl.ds(_np.int32(t0), px - t0), :],
+                          tail_sems.at[_np.int32(0)]).wait()
 
 
 def multisweep_strips(
@@ -242,40 +300,56 @@ def multisweep_strips(
 ):
     """Strip-tiled multisweep for levels beyond whole-grid VMEM residency.
 
-    Requires px % strip == 0 (true for tile-padded shapes with strip a
-    multiple of 8 dividing px; the wrapper picks a valid strip)."""
+    ``strip`` is a target row-block size; it is snapped to a multiple of 8
+    (Mosaic's sublane tiling). Rows the strip grid doesn't cover are handled
+    by a statically-offset tail window, so any tile-padded row count works.
+    """
     if jnp.ndim(st.c) != 0:
         raise ValueError("pallas multisweep requires a scalar (constant) stencil")
     px, py = u.shape
-    while px % strip:
-        strip //= 2
     halo = (1 if method == "jacobi" else 2) * int(sweeps)
-    win = strip + 2 * halo
-    if win > px:
-        # degenerate: fits in one window -> whole-grid kernel instead
+    halo = -(-halo // 8) * 8          # Mosaic: DMA row offsets multiple of 8
+    # scratch = 4 windows + 2 out strips + 2 tail windows ~= 10*strip rows;
+    # cap so scratch stays ~<=7 MB of the 16 MB VMEM (the rest is compute
+    # temporaries: masks + ~6 live sweep copies of one window)
+    cap = int(7e6 / (10 * py * u.dtype.itemsize)) - halo
+    strip = max(8, (min(strip, cap, px) // 8) * 8)
+    n_strips = px // strip
+    if n_strips < 2 or strip < halo:
+        # fits in (or nearly in) one window -> whole-grid kernel instead
         return multisweep(st, u, f, nx=nx, ny=ny, method=method,
                           sweeps=sweeps, omega=omega, interpret=interpret)
+    # loop strips: k in [0, n_loop); tail covers [t0, px)
+    n_loop = n_strips - 1
+    t0 = n_loop * strip
+    wst = t0 - halo                    # multiple of 8
+    wt = px - wst
+    win = strip + 2 * halo
     params = jnp.stack(
         [jnp.asarray(x, jnp.float32) for x in (st.c, st.w, st.e, st.s, st.n)]
     ).reshape(1, 5)
     kernel = partial(
         _strips_kernel, px=px, py=py, nx=nx, ny=ny, sweeps=int(sweeps),
         omega=float(omega), method=method, strip=int(strip), halo=halo,
+        n_loop=n_loop, t0=t0, wst=wst, wt=wt,
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         in_specs=[
             pl.BlockSpec((1, 5), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, win, py), u.dtype),      # u windows
             pltpu.VMEM((2, win, py), f.dtype),      # f windows
             pltpu.VMEM((2, strip, py), u.dtype),    # out buffers
+            pltpu.VMEM((wt, py), u.dtype),          # tail u window
+            pltpu.VMEM((wt, py), f.dtype),          # tail f window
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
