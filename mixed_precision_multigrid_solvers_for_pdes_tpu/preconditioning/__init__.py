@@ -17,5 +17,5 @@ from .base import (  # noqa: F401
 )
 from .chebyshev import chebyshev  # noqa: F401
 from .diagonal import block_line, diagonal, scaled_diagonal  # noqa: F401
-from .ilu import ILUPreconditioner  # noqa: F401
+from .ilu import ILUKPreconditioner, ILUPreconditioner  # noqa: F401
 from .multigrid_preconditioner import multigrid_preconditioner  # noqa: F401

@@ -148,6 +148,25 @@ def measure(n: int, k_lo: int, k_hi: int):
     # (name, time_fn, model_bytes)
     t = marginal(lambda k: chain_self(smooth1, k), mk_fine2, k_lo, k_hi)
     rows["smooth_sweep"] = (t, 2 * 3 * nb_f)
+
+    # Pallas multisweep (the 'auto' TPU path): one HBM round trip per CALL
+    # of 2 sweeps (u, f in; u out), vs 6 passes per sweep for XLA
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels \
+        import smooth as psmooth
+
+    def psmooth2(u, f):
+        fn = (psmooth.multisweep
+              if u.size * u.dtype.itemsize <= psmooth.WHOLE_GRID_BYTES
+              else psmooth.multisweep_strips)
+        return fn(st, u, f, nx=g.nx, ny=g.ny, method="rbgs", sweeps=2,
+                  omega=1.0)
+
+    try:
+        t = marginal(lambda k: chain_self(psmooth2, k), mk_fine2,
+                     k_lo, k_hi)
+        rows["smooth_2sweeps_pallas"] = (t, 3 * nb_f)
+    except Exception:
+        pass
     t = marginal(lambda k: chain_self(resid, k), mk_fine2, k_lo, k_hi)
     rows["residual"] = (t, 3 * nb_f)
     t = marginal(lambda k: chain_scalar(restr, k), mk_fine1, k_lo, k_hi)
@@ -157,19 +176,22 @@ def measure(n: int, k_lo: int, k_hi: int):
     t = marginal(lambda k: chain_scalar(pair, k), mk_fine1, k_lo, k_hi)
     rows["restrict+prolong"] = (t, 2 * (nb_f + nb_c))
 
-    # full V(2,2) cycle (all levels) for context
-    cfg = MultigridConfig(smoother="rbgs", omega=1.0)
-    levels = mg_mod.build_hierarchy(g, dtype=dtype, cfg=cfg)
+    # full V(2,2) cycle (all levels) for context, per backend
+    for backend, label, sweep_passes in (("xla", "v22_cycle_xla", 6),
+                                         ("auto", "v22_cycle_auto", 1.5)):
+        cfg = MultigridConfig(smoother="rbgs", omega=1.0, backend=backend)
+        levels = mg_mod.build_hierarchy(g, dtype=dtype, cfg=cfg)
 
-    def cyc(u, f):
-        return mg_mod.mg_cycle(levels, u, f, cfg)
+        def cyc(u, f, levels=levels, cfg=cfg):
+            return mg_mod.mg_cycle(levels, u, f, cfg)
 
-    t = marginal(lambda k: chain_self(cyc, k), mk_fine2,
-                 max(2, k_lo // 4), max(4, k_hi // 4))
-    # V(2,2) compulsory traffic: 4 sweeps + residual + transfers per level,
-    # summed over the 4/3 geometric factor
-    model = (4 * 6 + 3 + 2 * (1 + 0.25)) * nb_f * 4 / 3
-    rows["v22_cycle_full"] = (t, model)
+        t = marginal(lambda k: chain_self(cyc, k), mk_fine2,
+                     max(2, k_lo // 4), max(4, k_hi // 4))
+        # V(2,2) compulsory traffic: 4 sweeps (6 HBM passes each on XLA;
+        # 1.5 on the Pallas path = one u,f-in/u-out round trip per 2 sweeps)
+        # + residual + transfers per level, summed over the 4/3 factor
+        model = (4 * sweep_passes + 3 + 2 * (1 + 0.25)) * nb_f * 4 / 3
+        rows[label] = (t, model)
     return rows
 
 
@@ -232,10 +254,12 @@ def main():
         "",
         "Notes:",
         "- `smooth_sweep` is one RB-GS sweep on the XLA path (2 color "
-        "passes); the whole-grid Pallas kernel eliminates the inter-sweep "
-        "HBM traffic entirely (2.75 us vs 9.2 us per sweep at 513^2).",
-        "- `v22_cycle_full` includes every level; its model sums the "
-        "per-level compulsory traffic with the 4/3 geometric factor.",
+        "passes, ~6 HBM passes); `smooth_2sweeps_pallas` is one call of the "
+        "Pallas multisweep path ('auto' on TPU): ONE u,f-in/u-out HBM round "
+        "trip for both sweeps, so its model is 3 passes.",
+        "- `v22_cycle_xla`/`v22_cycle_auto` include every level; the model "
+        "sums per-level compulsory traffic with the 4/3 geometric factor "
+        "(sweeps cost 6 HBM passes on XLA, 1.5 on the Pallas path).",
         "- Per-solve wall time through the axon tunnel adds a ~27 ms fixed "
         "dispatch+sync cost not included here (bench.py includes it).",
     ]

@@ -140,6 +140,70 @@ class TestILU:
         mem = ilu.memory_usage()
         assert mem["fill_ratio"] == 1.0
 
+    def test_iluk_matches_ilu0_at_level0(self, setup):
+        """The general ILU(k) path at k=0 reproduces the vectorized
+        wavefront ILU(0) exactly (same algorithm, different sweep order)."""
+        prob, levels, lev0, mv, f = setup
+        un = np.asarray(lev0.unknown)
+        rng = np.random.default_rng(0)
+        r = np.where(un, rng.standard_normal(un.shape), 0.0)
+        z0 = pc.ILUPreconditioner(lev0.grid, lev0.stencil, lev0.unknown)(r)
+        zk = pc.ILUKPreconditioner(lev0.grid, lev0.stencil, lev0.unknown,
+                                   fill_level=0)(r)
+        assert np.max(np.abs(np.asarray(z0) - np.asarray(zk))) < 1e-11
+
+    def test_iluk_quality_improves_with_fill(self, setup):
+        """One-shot preconditioned residual ||A M^{-1} r - r||/||r|| drops
+        monotonically with fill level, and full fill is an exact LU solve
+        (the property the reference's fill_level knob was supposed to
+        deliver; its _allow_fill never implemented k>0,
+        reference preconditioning/ilu.py:253-264)."""
+        prob, levels, lev0, mv, f = setup
+        un = np.asarray(lev0.unknown)
+        rng = np.random.default_rng(1)
+        r = np.where(un, rng.standard_normal(un.shape), 0.0)
+
+        def one_shot(M):
+            Az = np.where(un, np.asarray(mv(jnp.asarray(M(r)))), 0.0)
+            return np.linalg.norm(Az - r) / np.linalg.norm(r)
+
+        res = []
+        for k in (0, 1, 3):
+            M = pc.ILUKPreconditioner(lev0.grid, lev0.stencil, lev0.unknown,
+                                      fill_level=k)
+            res.append(one_shot(M))
+        assert res[1] < res[0] and res[2] < res[1], res
+        exact = pc.ILUKPreconditioner(lev0.grid, lev0.stencil, lev0.unknown,
+                                      fill_level=10**6)
+        assert one_shot(exact) < 1e-10
+        assert exact.memory_usage()["fill_ratio"] > 2.0
+
+    def test_ilut_drop_and_milu(self, setup):
+        """Drop tolerance sparsifies the factors; MILU keeps a working
+        preconditioner; apply_transpose is the adjoint of apply."""
+        prob, levels, lev0, mv, f = setup
+        un = np.asarray(lev0.unknown)
+        rng = np.random.default_rng(2)
+        r = np.where(un, rng.standard_normal(un.shape), 0.0)
+        full = pc.ILUKPreconditioner(lev0.grid, lev0.stencil, lev0.unknown,
+                                     fill_level=5)
+        ilut = pc.ILUKPreconditioner(lev0.grid, lev0.stencil, lev0.unknown,
+                                     fill_level=5, drop_tolerance=5e-2)
+        assert (ilut.memory_usage()["factor_nnz"]
+                < full.memory_usage()["factor_nnz"])
+        milu = pc.ILUKPreconditioner(lev0.grid, lev0.stencil, lev0.unknown,
+                                     fill_level=1, drop_tolerance=1e-3,
+                                     milu=True)
+        z = milu(r)
+        assert np.all(np.isfinite(np.asarray(z)))
+        a = np.where(un, rng.standard_normal(un.shape), 0.0)
+        b = np.where(un, rng.standard_normal(un.shape), 0.0)
+        M = pc.ILUKPreconditioner(lev0.grid, lev0.stencil, lev0.unknown,
+                                  fill_level=2)
+        lhs = float(np.sum(M.apply_transpose(a) * b))
+        rhs = float(np.sum(a * M.apply(b)))
+        assert abs(lhs - rhs) < 1e-10 * abs(rhs)
+
 
 class TestGMRES:
     def test_gmres_converges(self, setup):
