@@ -114,3 +114,61 @@ class TestInteractiveAndDashboard:
         fig = d.render(save=tmp_path / "dash.png")
         _close(fig)
         assert (tmp_path / "dash.png").exists()
+
+
+class TestPlotContent:
+    """Pin plot CONTENT, not just render paths (VERDICT.md weak #8): the
+    data that lands in the matplotlib artists must be the data passed in."""
+
+    def test_residual_history_content(self):
+        v = ConvergencePlotter()
+        hist = [1.0, 0.1, 0.01, 1e-3]
+        fig = v.plot_residual_history({"run": hist}, tol=1e-6)
+        ax = fig.axes[0]
+        lines = ax.get_lines()
+        # first line: the history curve, y data exactly as given
+        ys = lines[0].get_ydata()
+        np.testing.assert_allclose(ys, hist)
+        assert ax.get_yscale() == "log"
+        # tol guide line present at the right level
+        guides = [ln for ln in lines if np.allclose(ln.get_ydata(), 1e-6)]
+        assert guides, "tolerance guide line missing"
+        _close(fig)
+
+    def test_grid_convergence_guide_slope(self):
+        v = ConvergencePlotter()
+        h = np.array([0.1, 0.05, 0.025])
+        err = 3.0 * h**2
+        fig = v.plot_grid_convergence(h, err, expected_order=2.0)
+        ax = fig.axes[0]
+        data_line, guide = ax.get_lines()[0], ax.get_lines()[1]
+        np.testing.assert_allclose(data_line.get_ydata(), err)
+        # the O(h^2) guide through the first point equals the data here
+        np.testing.assert_allclose(guide.get_ydata(), err, rtol=1e-12)
+        _close(fig)
+
+    def test_error_map_image_values(self, grid, field):
+        v = SolutionVisualizer()
+        approx = field * 0.75
+        fig = v.plot_error_map(grid, field, approx)
+        ax = fig.axes[0]
+        imgs = ax.get_images() + [c for c in ax.collections
+                                  if hasattr(c, "get_array")]
+        assert imgs, "no image/mesh artist in error map"
+        arr = np.asarray(imgs[0].get_array())
+        expected_max = float(np.abs(field - approx)[:grid.nx, :grid.ny].max())
+        assert np.isclose(float(np.nanmax(arr)), expected_max, rtol=1e-6)
+        _close(fig)
+
+    def test_solution_contour_levels_bracket_data(self, grid, field):
+        v = SolutionVisualizer()
+        fig = v.plot_contour(grid, field)
+        ax = fig.axes[0]
+        cs = [c for c in ax.collections if hasattr(c, "levels")]
+        assert cs, "no contour set on the axes"
+        levels = np.asarray(cs[0].levels, float)
+        lo = float(field[:grid.nx, :grid.ny].min())
+        hi = float(field[:grid.nx, :grid.ny].max())
+        assert levels.min() <= lo + 1e-9 and levels.max() >= hi - 1e-9, (
+            levels.min(), levels.max(), lo, hi)
+        _close(fig)
