@@ -33,6 +33,13 @@ from . import smooth as smooth_mod
 # whole level is a handful of XLA fusions anyway (coarse levels)
 _MIN_PALLAS_BYTES = 64 * 1024
 
+# fused transfer kernels pay two kernel launches per cycle level; measured
+# marginal cost per residual+restrict+prolong+correct pass, fp32 (two-K
+# protocol, v5e): 257^2 XLA 9.3 us vs fused 2.8; 513^2 28.9 vs 10.9;
+# 1025^2 113 vs 29; 2049^2 561 vs 158. Below ~256 KB the launch cost and
+# XLA's fusion of tiny levels make the kernels a wash.
+_MIN_TRANSFER_BYTES = 256 * 1024
+
 
 def _on_tpu() -> bool:
     try:
@@ -82,4 +89,127 @@ def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
     return smooth_mod.smooth(
         stencil, u, f, lev.unknown, method=method, sweeps=sweeps, omega=omega,
         sync=sync, cyclic_axes=cyclic_axes,
+    )
+
+
+def transfer_fused_ok(lev, nxt, cfg) -> bool:
+    """True when the fused Pallas residual+restrict / prolong+correct pair
+    (ops/pallas_kernels/transfer.py) may replace the XLA transfer chain in
+    the cycle: scalar all-Dirichlet stencil on a full rectangle, default
+    transfer operators, fp32/bf16, level big enough to amortize two kernel
+    launches. Measured marginal cost per residual+restrict+prolong+correct
+    pass, fp32 (two-K protocol, v5e): 1025^2 XLA 113 us vs fused 29 us
+    (3.9x); 2049^2 561 vs 158 (3.5x)."""
+    from ..core import bc as bc_mod
+    from ..core.bc import BCKind
+
+    backend = cfg.backend
+    if backend == "xla":
+        return False
+    if backend == "auto" and not _on_tpu():
+        return False
+    if jnp.ndim(lev.stencil.c) != 0:
+        return False
+    if lev.domain is not None or getattr(nxt, "domain", None) is not None:
+        return False
+    if cfg.restriction != "full_weighting" or cfg.prolongation != "bilinear":
+        return False
+    if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
+               for s in bc_mod.SIDES):
+        return False
+    for dt in (lev.dtype, nxt.dtype):
+        if jnp.dtype(dt) not in (jnp.dtype(jnp.float32),
+                                 jnp.dtype(jnp.bfloat16)):
+            return False
+    px, py = lev.grid.shape_padded
+    return px * py * jnp.dtype(lev.dtype).itemsize >= _MIN_TRANSFER_BYTES
+
+
+def residual_restrict(lev, nxt, u, f):
+    """Fused fc = R(f - A u) (gate with transfer_fused_ok first)."""
+    from .pallas_kernels import transfer as ptransfer
+
+    return ptransfer.residual_restrict(
+        lev.stencil, u, f,
+        nxf=lev.grid.nx, nyf=lev.grid.ny,
+        ncx=nxt.grid.nx, ncy=nxt.grid.ny,
+        pshape_coarse=nxt.grid.shape_padded,
+        out_dtype=nxt.dtype,
+    )
+
+
+def prolong_correct(lev, nxt, ec, u):
+    """Fused u + P ec on fine unknowns (gate with transfer_fused_ok first)."""
+    from .pallas_kernels import transfer as ptransfer
+
+    return ptransfer.prolong_correct(
+        ec, u,
+        ncx=nxt.grid.nx, ncy=nxt.grid.ny,
+        nxf=lev.grid.nx, nyf=lev.grid.ny,
+    )
+
+
+# 'auto' routes the coarse tail to the fused kernel only once it has been
+# Mosaic-compiled and timed on real hardware; backend='pallas' always tries.
+TAIL_AUTO = False
+
+
+def tail_ok(levels, lvl, cfg, cycle_type) -> bool:
+    """True when the whole V-recursion from ``lvl`` down may be replaced by
+    the single fused coarse-tail kernel (ops/pallas_kernels/tail.py):
+    pure-V subtree, constant-coefficient all-Dirichlet rectangle on every
+    remaining level, default transfers, rbgs/jacobi-family smoother, entry
+    level small enough for full-tail VMEM residency. The kernel computes in
+    fp32 throughout (>= the accuracy of the per-level-dtype XLA path)."""
+    if cycle_type != "V":
+        return False
+    backend = cfg.backend
+    if backend == "xla":
+        return False
+    if backend == "auto" and (not TAIL_AUTO or not _on_tpu()):
+        return False
+    if cfg.smoother not in ("jacobi", "rbgs", "gauss_seidel", "red_black",
+                            "sor"):
+        return False
+    if cfg.restriction != "full_weighting" or cfg.prolongation != "bilinear":
+        return False
+    from ..core import bc as bc_mod
+    from ..core.bc import BCKind
+    from .pallas_kernels.tail import TAIL_MAX_ENTRY_BYTES
+
+    entry = levels[lvl]
+    px, py = entry.grid.shape_padded
+    if px * py * jnp.dtype(entry.dtype).itemsize > TAIL_MAX_ENTRY_BYTES:
+        return False
+    if jnp.dtype(entry.dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16)):
+        return False
+    for lev in levels[lvl:]:
+        if jnp.ndim(lev.stencil.c) != 0:
+            return False
+        if lev.domain is not None:
+            return False
+        if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
+                   for s in bc_mod.SIDES):
+            return False
+    return True
+
+
+def tail_vcycle(levels, lvl, u, f, cfg):
+    """Run the fused coarse-tail kernel (gate with tail_ok first)."""
+    from .pallas_kernels import tail as ptail
+
+    tail = levels[lvl:]
+    meta = tuple(
+        (lev.grid.nx, lev.grid.ny) + tuple(lev.grid.shape_padded)
+        for lev in tail
+    )
+    method = cfg.smoother
+    if method in ("gauss_seidel", "red_black"):
+        method = "rbgs"
+    return ptail.tail_vcycle(
+        [lev.stencil for lev in tail], u, f, meta=meta,
+        pre=cfg.pre_sweeps, post=cfg.post_sweeps, omega=cfg.omega,
+        method=method, coarse_sweeps=cfg.coarse_sweeps,
+        symmetric=cfg.symmetric,
     )

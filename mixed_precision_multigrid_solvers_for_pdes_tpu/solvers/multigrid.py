@@ -182,6 +182,13 @@ def _cycle(levels: Tuple[Level, ...], u, f, lvl: int, cfg: MultigridConfig,
            cycle_type: str, constrain=None):
     lev = levels[lvl]
     unknown = lev.unknown
+    if constrain is None:
+        from ..ops import dispatch
+
+        if dispatch.tail_ok(levels, lvl, cfg, cycle_type):
+            # whole remaining V-recursion fused into ONE Pallas kernel
+            # (ops/pallas_kernels/tail.py): zero HBM traffic below this level
+            return dispatch.tail_vcycle(levels, lvl, u, f, cfg)
     if lvl == len(levels) - 1:
         # coarsest: RB-GS to (near-)exactness; exact in one sweep when a
         # single interior unknown remains.
@@ -190,9 +197,16 @@ def _cycle(levels: Tuple[Level, ...], u, f, lvl: int, cfg: MultigridConfig,
 
     u = _smooth(lev, u, f, cfg, cfg.pre_sweeps)
     sync = lev.sync
-    r = st_mod.residual(lev.stencil, u, f, unknown, sync)
-
     nxt = levels[lvl + 1]
+    from ..ops import dispatch
+
+    fused = constrain is None and dispatch.transfer_fused_ok(lev, nxt, cfg)
+    if fused:
+        # Pallas kernel: fc = R(f - A u) in one HBM pass (the intermediate
+        # fine residual never materializes) — ops/pallas_kernels/transfer.py
+        fc = dispatch.residual_restrict(lev, nxt, u, f)
+    else:
+        r = st_mod.residual(lev.stencil, u, f, unknown, sync)
     from ..core.bc import BCKind
 
     wrap = (lev.spec.west.kind == BCKind.PERIODIC,
@@ -202,13 +216,14 @@ def _cycle(levels: Tuple[Level, ...], u, f, lvl: int, cfg: MultigridConfig,
         for s in bc_mod.SIDES
     )
     boundary = "zero" if plain else "reflect"
-    if any(wrap):
-        r = sync(r)  # wrap ghosts feed the restriction windows at the seam
-    fc = transfer.restrict(
-        r, nxt.grid.nx, nxt.grid.ny, nxt.grid.shape_padded,
-        method=cfg.restriction, boundary=boundary, dtype=nxt.dtype,
-        wrap=wrap,
-    )
+    if not fused:
+        if any(wrap):
+            r = sync(r)  # wrap ghosts feed the restriction windows at the seam
+        fc = transfer.restrict(
+            r, nxt.grid.nx, nxt.grid.ny, nxt.grid.shape_padded,
+            method=cfg.restriction, boundary=boundary, dtype=nxt.dtype,
+            wrap=wrap,
+        )
     if constrain is not None:
         fc = constrain(fc, nxt)
     if boundary == "reflect":
@@ -229,15 +244,19 @@ def _cycle(levels: Tuple[Level, ...], u, f, lvl: int, cfg: MultigridConfig,
     else:
         raise ValueError(f"unknown cycle {cycle_type!r}")
 
-    if any(wrap):
-        ec = nxt.sync(ec)  # coarse dup node must mirror node 0 before interp
-    e = transfer.prolong(
-        ec, nxt.grid.nx, nxt.grid.ny, lev.grid.nx, lev.grid.ny,
-        lev.grid.shape_padded, method=cfg.prolongation, dtype=lev.dtype,
-    )
-    if constrain is not None:
-        e = constrain(e, lev)
-    u = jnp.where(unknown, u + e, u)
+    if fused:
+        # Pallas kernel: u += P ec on fine unknowns in one HBM pass
+        u = dispatch.prolong_correct(lev, nxt, ec, u)
+    else:
+        if any(wrap):
+            ec = nxt.sync(ec)  # coarse dup must mirror node 0 before interp
+        e = transfer.prolong(
+            ec, nxt.grid.nx, nxt.grid.ny, lev.grid.nx, lev.grid.ny,
+            lev.grid.shape_padded, method=cfg.prolongation, dtype=lev.dtype,
+        )
+        if constrain is not None:
+            e = constrain(e, lev)
+        u = jnp.where(unknown, u + e, u)
     u = _smooth(lev, u, f, cfg, cfg.post_sweeps, post=True)
     return u
 

@@ -169,6 +169,34 @@ def measure(n: int, k_lo: int, k_hi: int):
         pass
     t = marginal(lambda k: chain_self(resid, k), mk_fine2, k_lo, k_hi)
     rows["residual"] = (t, 3 * nb_f)
+
+    # fused Pallas transfer kernels (the 'auto' TPU path for big levels):
+    # residual+restrict reads u,f and writes only the coarse result;
+    # prolong+correct reads ec,u and writes u
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels \
+        import transfer as ptransfer
+
+    def fused_rr(u, f):
+        fc = ptransfer.residual_restrict(
+            st, u, f, nxf=g.nx, nyf=g.ny, ncx=gc.nx, ncy=gc.ny,
+            pshape_coarse=(pxc, pyc))
+        return u + damp * fc[0, 0]
+
+    def fused_pair(u, f):
+        fc = ptransfer.residual_restrict(
+            st, u, f, nxf=g.nx, nyf=g.ny, ncx=gc.nx, ncy=gc.ny,
+            pshape_coarse=(pxc, pyc))
+        return ptransfer.prolong_correct(damp * fc, u, ncx=gc.nx, ncy=gc.ny,
+                                         nxf=g.nx, nyf=g.ny)
+
+    try:
+        t = marginal(lambda k: chain_self(fused_rr, k), mk_fine2, k_lo, k_hi)
+        rows["residual_restrict_pallas"] = (t, 2 * nb_f + nb_c)
+        t = marginal(lambda k: chain_self(fused_pair, k), mk_fine2,
+                     k_lo, k_hi)
+        rows["rr+prolong_correct_pallas"] = (t, 4 * nb_f + 2 * nb_c)
+    except Exception:
+        pass
     t = marginal(lambda k: chain_scalar(restr, k), mk_fine1, k_lo, k_hi)
     rows["restrict"] = (t, nb_f + nb_c)
     t = marginal(lambda k: chain_scalar(prol, k), mk_coarse1, k_lo, k_hi)
@@ -177,8 +205,13 @@ def measure(n: int, k_lo: int, k_hi: int):
     rows["restrict+prolong"] = (t, 2 * (nb_f + nb_c))
 
     # full V(2,2) cycle (all levels) for context, per backend
-    for backend, label, sweep_passes in (("xla", "v22_cycle_xla", 6),
-                                         ("auto", "v22_cycle_auto", 1.5)):
+    # V(2,2) compulsory traffic per level: 4 sweeps (6 HBM passes each on
+    # XLA; 1.5 on the Pallas path = one u,f-in/u-out round trip per 2
+    # sweeps) + residual/transfer chain (XLA: residual 3 + restrict 1.25 +
+    # prolong 1.25 + correction 2 = 7.5 passes; fused Pallas kernels:
+    # 2.25 + 2.25 = 4.5), summed over the 4/3 geometric factor
+    for backend, label, passes in (("xla", "v22_cycle_xla", 4 * 6 + 7.5),
+                                   ("auto", "v22_cycle_auto", 4 * 1.5 + 4.5)):
         cfg = MultigridConfig(smoother="rbgs", omega=1.0, backend=backend)
         levels = mg_mod.build_hierarchy(g, dtype=dtype, cfg=cfg)
 
@@ -187,11 +220,7 @@ def measure(n: int, k_lo: int, k_hi: int):
 
         t = marginal(lambda k: chain_self(cyc, k), mk_fine2,
                      max(2, k_lo // 4), max(4, k_hi // 4))
-        # V(2,2) compulsory traffic: 4 sweeps (6 HBM passes each on XLA;
-        # 1.5 on the Pallas path = one u,f-in/u-out round trip per 2 sweeps)
-        # + residual + transfers per level, summed over the 4/3 factor
-        model = (4 * sweep_passes + 3 + 2 * (1 + 0.25)) * nb_f * 4 / 3
-        rows[label] = (t, model)
+        rows[label] = (t, passes * nb_f * 4 / 3)
     return rows
 
 
@@ -257,9 +286,15 @@ def main():
         "passes, ~6 HBM passes); `smooth_2sweeps_pallas` is one call of the "
         "Pallas multisweep path ('auto' on TPU): ONE u,f-in/u-out HBM round "
         "trip for both sweeps, so its model is 3 passes.",
+        "- `residual_restrict_pallas` / `rr+prolong_correct_pallas` are the "
+        "fused transfer kernels (ops/pallas_kernels/transfer.py): the fine "
+        "residual / prolonged correction never materialize in HBM, so the "
+        "compulsory model drops from ~7.5 fine passes (XLA chain incl. "
+        "correction) to 4.5.",
         "- `v22_cycle_xla`/`v22_cycle_auto` include every level; the model "
         "sums per-level compulsory traffic with the 4/3 geometric factor "
-        "(sweeps cost 6 HBM passes on XLA, 1.5 on the Pallas path).",
+        "(sweeps cost 6 HBM passes on XLA, 1.5 on the Pallas path; the "
+        "transfer chain 7.5 on XLA, 4.5 fused).",
         "- Per-solve wall time through the axon tunnel adds a ~27 ms fixed "
         "dispatch+sync cost not included here (bench.py includes it).",
     ]

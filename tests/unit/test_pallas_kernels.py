@@ -104,3 +104,116 @@ def test_multisweep_strips_degenerate_single_window():
                                     strip=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused transfer kernels (interpret mode)
+# ---------------------------------------------------------------------------
+
+from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import (  # noqa: E402
+    transfer as transfer_mod,
+)
+from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels import (  # noqa: E402
+    transfer as ptransfer,
+)
+
+
+@pytest.mark.parametrize("n", [65, 129])
+def test_fused_residual_restrict_matches_xla(n):
+    g = Grid(n, n)
+    gc = g.coarsen()
+    st = st_mod.make_stencil(g, dtype=jnp.float32)
+    unknown = bc_mod.unknown_mask(g.nx, g.ny, g.shape_padded,
+                                  bc_mod.dirichlet())
+    rng = np.random.default_rng(n)
+    u = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32))
+    f = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32))
+    r = st_mod.residual(st, u, f, unknown)
+    ref = transfer_mod.restrict(r, gc.nx, gc.ny, gc.shape_padded,
+                                method="full_weighting", dtype=jnp.float32)
+    got = ptransfer.residual_restrict(
+        st, u, f, nxf=g.nx, nyf=g.ny, ncx=gc.nx, ncy=gc.ny,
+        pshape_coarse=gc.shape_padded, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [65, 129])
+def test_fused_prolong_correct_matches_xla(n):
+    g = Grid(n, n)
+    gc = g.coarsen()
+    unknown = bc_mod.unknown_mask(g.nx, g.ny, g.shape_padded,
+                                  bc_mod.dirichlet())
+    rng = np.random.default_rng(n + 1)
+    u = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32))
+    ec = np.zeros(gc.shape_padded, np.float32)
+    ec[: gc.nx, : gc.ny] = rng.standard_normal((gc.nx, gc.ny))
+    ec = jnp.asarray(ec)
+    e = transfer_mod.prolong(ec, gc.nx, gc.ny, g.nx, g.ny, g.shape_padded,
+                             dtype=jnp.float32)
+    ref = jnp.where(unknown, u + e, u)
+    got = ptransfer.prolong_correct(ec, u, ncx=gc.nx, ncy=gc.ny,
+                                    nxf=g.nx, nyf=g.ny, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused coarse-tail kernel (interpret mode)
+# ---------------------------------------------------------------------------
+
+from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels import (  # noqa: E402
+    tail as ptail,
+)
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import (  # noqa: E402
+    multigrid as mg_mod,
+)
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_tail_vcycle_matches_xla_cycle(symmetric):
+    n = 65
+    cfg = mg_mod.MultigridConfig(smoother="rbgs", omega=1.0, backend="xla",
+                                 coarse_sweeps=8, symmetric=symmetric)
+    levels = mg_mod.build_hierarchy(Grid(n, n), cfg=cfg, dtype=jnp.float32)
+    g = levels[0].grid
+    rng = np.random.default_rng(7)
+    u = np.zeros(g.shape_padded, np.float32)
+    f = np.zeros(g.shape_padded, np.float32)
+    u[1:n-1, 1:n-1] = rng.standard_normal((n-2, n-2))
+    f[1:n-1, 1:n-1] = rng.standard_normal((n-2, n-2))
+    u, f = jnp.asarray(u), jnp.asarray(f)
+    ref = mg_mod.mg_cycle(levels, u, f, cfg)
+    meta = tuple((lev.grid.nx, lev.grid.ny) + tuple(lev.grid.shape_padded)
+                 for lev in levels)
+    got = ptail.tail_vcycle(
+        [lev.stencil for lev in levels], u, f, meta=meta,
+        pre=cfg.pre_sweeps, post=cfg.post_sweeps, omega=cfg.omega,
+        method="rbgs", coarse_sweeps=cfg.coarse_sweeps, symmetric=symmetric,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tail_vcycle_jacobi_matches_xla_cycle():
+    n = 33
+    cfg = mg_mod.MultigridConfig(smoother="jacobi", omega=0.8, backend="xla",
+                                 coarse_sweeps=8)
+    levels = mg_mod.build_hierarchy(Grid(n, n), cfg=cfg, dtype=jnp.float32)
+    g = levels[0].grid
+    rng = np.random.default_rng(9)
+    f = np.zeros(g.shape_padded, np.float32)
+    f[1:n-1, 1:n-1] = rng.standard_normal((n-2, n-2))
+    f = jnp.asarray(f)
+    u = jnp.zeros_like(f)
+    ref = mg_mod.mg_cycle(levels, u, f, cfg)
+    meta = tuple((lev.grid.nx, lev.grid.ny) + tuple(lev.grid.shape_padded)
+                 for lev in levels)
+    got = ptail.tail_vcycle(
+        [lev.stencil for lev in levels], u, f, meta=meta,
+        pre=cfg.pre_sweeps, post=cfg.post_sweeps, omega=cfg.omega,
+        method="jacobi", coarse_sweeps=cfg.coarse_sweeps,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
