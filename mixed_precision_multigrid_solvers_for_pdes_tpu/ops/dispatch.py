@@ -48,6 +48,12 @@ def _on_tpu() -> bool:
         return False
 
 
+# 'auto' routes variable-coefficient smoothing to the Pallas kernels only
+# once the streamed-coefficient path has been Mosaic-compiled and timed on
+# real hardware; backend='pallas' always tries.
+VARCOEF_AUTO = False
+
+
 def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bool:
     if method not in ("jacobi", "rbgs", "gauss_seidel", "red_black", "sor"):
         return False  # line/ADI smoothers are XLA-only (tridiagonal_solve)
@@ -56,7 +62,20 @@ def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bo
     if backend == "auto" and not _on_tpu():
         return False
     if jnp.ndim(stencil.c) != 0:
-        return False  # variable-coefficient / Neumann path: XLA for now
+        # variable-coefficient path: coefficient planes stream through VMEM
+        # windows. Requires the iota-built interior mask, i.e. a plain
+        # all-Dirichlet rectangle (Neumann/Robin move unknowns onto the
+        # boundary; domain masks carve the interior) — those stay on XLA.
+        from ..core import bc as bc_mod
+        from ..core.bc import BCKind
+
+        if backend == "auto" and not VARCOEF_AUTO:
+            return False
+        if getattr(lev, "domain", None) is not None:
+            return False
+        if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
+                   for s in bc_mod.SIDES):
+            return False
     if u.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     return u.size * u.dtype.itemsize >= _MIN_PALLAS_BYTES
@@ -69,7 +88,9 @@ def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
         from .pallas_kernels import smooth as psmooth
 
         nbytes = u.size * u.dtype.itemsize
-        if nbytes <= psmooth.WHOLE_GRID_BYTES:
+        ceiling = (psmooth.WHOLE_GRID_BYTES_VAR if jnp.ndim(stencil.c) != 0
+                   else psmooth.WHOLE_GRID_BYTES)
+        if nbytes <= ceiling:
             return psmooth.multisweep(
                 stencil, u, f,
                 nx=lev.grid.nx, ny=lev.grid.ny,

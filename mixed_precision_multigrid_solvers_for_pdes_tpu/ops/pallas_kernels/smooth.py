@@ -27,9 +27,14 @@ Red-black GS runs both colors per sweep in-register; masks come from iota,
 costing no memory traffic. bf16 arrays are computed in fp32 in-kernel and
 stored back as bf16 (replaces the CUDA fp16 tensor-core tier).
 
-Constant-coefficient Dirichlet fast path only — exactly the hot configuration
-(fine Poisson/Helmholtz levels); everything else takes the XLA path via
-ops/dispatch.py.
+Both kernels also take VARIABLE-COEFFICIENT stencils (2-d coefficient
+arrays, e.g. jump/variable diffusion via harmonic faces): the five
+coefficient planes stream through VMEM windows alongside u and f. The
+multisweep amortization is even larger there — the XLA path re-reads all
+five coefficient arrays every color update (~12 HBM passes per RB-GS sweep)
+while the kernel reads them once per strip: (7 in + 1 out)/k passes for k
+sweeps. Dirichlet rectangles only; Neumann/Robin/periodic and masked
+irregular domains take the XLA path via ops/dispatch.py.
 
 NOTE (round-2 correction, scripts/kernel_microbench.py): round 1 concluded
 these kernels lose to XLA; that measurement was contaminated by the ~27 ms
@@ -54,6 +59,8 @@ from ..stencil import Stencil
 # ~16 MB VMEM. Measured on v5e: 2.02 MB (656x768 fp32) compiles, 2.78 MB
 # (776x896) does not; larger levels take the strip kernel.
 WHOLE_GRID_BYTES = 2_100_000
+# variable-coefficient: five extra resident coefficient planes -> lower cap
+WHOLE_GRID_BYTES_VAR = 1_100_000
 
 
 def _sweep_body(f, unknown, red, c, w, e, s, n, omega, method):
@@ -112,6 +119,32 @@ def _smooth_kernel(u_ref, f_ref, p_ref, o_ref, *, nx, ny, sweeps, omega,
     o_ref[:] = u.astype(o_ref.dtype)
 
 
+def _smooth_kernel_var(u_ref, f_ref, c_ref, w_ref, e_ref, s_ref, n_ref,
+                       o_ref, *, nx, ny, sweeps, omega, method):
+    """Whole-grid multisweep with 2-d coefficient planes VMEM-resident."""
+    compute_dtype = jnp.float32
+    om = jnp.asarray(omega, compute_dtype)
+
+    px, py = u_ref.shape
+    i = jax.lax.broadcasted_iota(jnp.int32, (px, py), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (px, py), 1)
+    unknown = (i > 0) & (i < nx - 1) & (j > 0) & (j < ny - 1)
+    red = ((i + j) & 1) == 0
+
+    f = f_ref[:].astype(compute_dtype)
+    # padding/boundary rows hold c == 0 in some constructions; guard the
+    # reciprocal (those nodes are masked, the value is never used)
+    c = c_ref[:].astype(compute_dtype)
+    c = jnp.where(unknown, c, jnp.ones((), compute_dtype))
+    coefs = (c, w_ref[:].astype(compute_dtype),
+             e_ref[:].astype(compute_dtype), s_ref[:].astype(compute_dtype),
+             n_ref[:].astype(compute_dtype))
+    sweep = _sweep_body(f, unknown, red, *coefs, om, method)
+    u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u),
+                          u_ref[:].astype(compute_dtype))
+    o_ref[:] = u.astype(o_ref.dtype)
+
+
 def multisweep(
     st: Stencil,
     u,
@@ -130,7 +163,20 @@ def multisweep(
     backend) — used by CPU tests to pin the kernel's numerics against the
     XLA smoother."""
     if jnp.ndim(st.c) != 0:
-        raise ValueError("pallas multisweep requires a scalar (constant) stencil")
+        coefs = tuple(jnp.broadcast_to(jnp.asarray(x), u.shape)
+                      for x in (st.c, st.w, st.e, st.s, st.n))
+        kernel = partial(
+            _smooth_kernel_var, nx=nx, ny=ny, sweeps=int(sweeps),
+            omega=float(omega), method=method,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            input_output_aliases={0: 0},
+            interpret=interpret,
+        )(u, f, *coefs)
     params = jnp.stack(
         [jnp.asarray(x, jnp.float32) for x in (st.c, st.w, st.e, st.s, st.n)]
     ).reshape(1, 5)
@@ -156,12 +202,14 @@ def multisweep(
 # strip-tiled double-buffered kernel
 # ---------------------------------------------------------------------------
 
-def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f,
-                   in_sems, out_sems, tail_sems,
-                   *, px, py, nx, ny, sweeps, omega, method, strip, halo,
-                   n_loop, t0, wst, wt):
+def _strips_kernel(*refs, px, py, nx, ny, sweeps, omega, method, strip, halo,
+                   n_loop, t0, wst, wt, n_in):
     """Double-buffered fori over the first ``n_loop`` sublane strips, then a
     statically-coded tail window for the last strip + row remainder.
+
+    Generic over ``n_in`` input streams: (u, f) with SMEM stencil scalars on
+    the constant-coefficient path, (u, f, c, w, e, s, n) with streamed
+    coefficient windows on the variable-coefficient path.
 
     Mosaic requires every dynamic DMA row offset to be provably divisible by
     the sublane tiling (8): ``strip`` and ``halo`` are multiples of 8 and
@@ -169,7 +217,14 @@ def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f,
     [wst, px)) uses python-int offsets, so arbitrary tile-padded row counts
     (e.g. 1032 = 8*129) need no divisibility from ``strip``."""
     compute_dtype = jnp.float32
-    c, w, e, s, n = (p_ref[0, k] for k in range(5))
+    if n_in == 2:
+        p_ref, refs = refs[0], refs[1:]
+    hbm_in = refs[:n_in]
+    o_hbm = refs[n_in]
+    ws = refs[n_in + 1: 2 * n_in + 1]          # (2, win, py) window buffers
+    ow = refs[2 * n_in + 1]
+    tws = refs[2 * n_in + 2: 3 * n_in + 2]     # (wt, py) tail windows
+    in_sems, out_sems, tail_sems = refs[3 * n_in + 2:]
     om = jnp.asarray(omega, compute_dtype)
     win = strip + 2 * halo
 
@@ -184,11 +239,10 @@ def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f,
     def in_dma(slot, k):
         slot = jnp.asarray(slot, jnp.int32)
         st_row = win_start(k)
-        return (
-            pltpu.make_async_copy(u_hbm.at[pl.ds(st_row, win), :],
-                                  uw.at[slot], in_sems.at[slot, _np.int32(0)]),
-            pltpu.make_async_copy(f_hbm.at[pl.ds(st_row, win), :],
-                                  fw.at[slot], in_sems.at[slot, _np.int32(1)]),
+        return tuple(
+            pltpu.make_async_copy(h.at[pl.ds(st_row, win), :], wb.at[slot],
+                                  in_sems.at[slot, _np.int32(m)])
+            for m, (h, wb) in enumerate(zip(hbm_in, ws))
         )
 
     def make_masks(gi_start, shape):
@@ -197,6 +251,12 @@ def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f,
         unknown = (gi > 0) & (gi < nx - 1) & (gj > 0) & (gj < ny - 1)
         red = ((gi + gj) & 1) == 0
         return unknown, red
+
+    def window_coefs(vals, unknown):
+        if n_in == 2:
+            return tuple(p_ref[0, k] for k in range(5))
+        c = jnp.where(unknown, vals[2], jnp.ones((), compute_dtype))
+        return (c,) + tuple(vals[3:7])
 
     if n_loop > 0:
         for d in in_dma(0, 0):
@@ -215,10 +275,10 @@ def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f,
             d.wait()
 
         unknown, red = make_masks(win_start(k), (win, py))
-        fval = fw[slot].astype(compute_dtype)
-        sweep = _sweep_body(fval, unknown, red, c, w, e, s, n, om, method)
-        u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u),
-                              uw[slot].astype(compute_dtype))
+        vals = [wb[slot].astype(compute_dtype) for wb in ws]
+        c, w, e, s, n = window_coefs(vals, unknown)
+        sweep = _sweep_body(vals[1], unknown, red, c, w, e, s, n, om, method)
+        u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u), vals[0])
 
         # exact interior of this strip: global rows [k*strip, k*strip+strip);
         # window offset is 0 for the first strip, halo otherwise (Mosaic
@@ -256,19 +316,23 @@ def _strips_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f,
     )
 
     # ---- static tail: rows [t0, px) computed from window [wst, px) ----
-    pltpu.make_async_copy(u_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_u,
-                          tail_sems.at[_np.int32(0)]).start()
-    pltpu.make_async_copy(f_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_f,
-                          tail_sems.at[_np.int32(1)]).start()
-    pltpu.make_async_copy(u_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_u,
-                          tail_sems.at[_np.int32(0)]).wait()
-    pltpu.make_async_copy(f_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_f,
-                          tail_sems.at[_np.int32(1)]).wait()
+    def tail_dma():
+        return tuple(
+            pltpu.make_async_copy(h.at[pl.ds(_np.int32(wst), wt), :], tw,
+                                  tail_sems.at[_np.int32(m)])
+            for m, (h, tw) in enumerate(zip(hbm_in, tws))
+        )
+
+    for d in tail_dma():
+        d.start()
+    for d in tail_dma():
+        d.wait()
     unknown, red = make_masks(wst, (wt, py))
-    fval = tw_f[:].astype(compute_dtype)
-    sweep = _sweep_body(fval, unknown, red, c, w, e, s, n, om, method)
-    u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u),
-                          tw_u[:].astype(compute_dtype))
+    vals = [tw[:].astype(compute_dtype) for tw in tws]
+    c, w, e, s, n = window_coefs(vals, unknown)
+    sweep = _sweep_body(vals[1], unknown, red, c, w, e, s, n, om, method)
+    u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u), vals[0])
+    tw_u = tws[0]
     off = t0 - wst
     tw_u[:] = u.astype(tw_u.dtype)
     pltpu.make_async_copy(tw_u.at[pl.ds(_np.int32(off), px - t0), :],
@@ -303,16 +367,19 @@ def multisweep_strips(
     ``strip`` is a target row-block size; it is snapped to a multiple of 8
     (Mosaic's sublane tiling). Rows the strip grid doesn't cover are handled
     by a statically-offset tail window, so any tile-padded row count works.
-    """
-    if jnp.ndim(st.c) != 0:
-        raise ValueError("pallas multisweep requires a scalar (constant) stencil")
+
+    Variable-coefficient stencils (2-d leaves) stream the five coefficient
+    planes through their own double-buffered windows (n_in = 7)."""
+    varcoef = jnp.ndim(st.c) != 0
+    n_in = 7 if varcoef else 2
     px, py = u.shape
     halo = (1 if method == "jacobi" else 2) * int(sweeps)
     halo = -(-halo // 8) * 8          # Mosaic: DMA row offsets multiple of 8
-    # scratch = 4 windows + 2 out strips + 2 tail windows ~= 10*strip rows;
-    # cap so scratch stays ~<=7 MB of the 16 MB VMEM (the rest is compute
-    # temporaries: masks + ~6 live sweep copies of one window)
-    cap = int(7e6 / (10 * py * u.dtype.itemsize)) - halo
+    # scratch = 2*n_in windows + 2 out strips + n_in tail windows
+    # ~= (3*n_in + 4)*strip rows; cap so scratch stays ~<=7 MB of the 16 MB
+    # VMEM (the rest is compute temporaries: masks + ~6 live sweep copies of
+    # one window)
+    cap = int(7e6 / ((3 * n_in + 4) * py * u.dtype.itemsize)) - halo
     strip = max(8, (min(strip, cap, px) // 8) * 8)
     n_strips = px // strip
     if n_strips < 2 or strip < halo:
@@ -325,32 +392,45 @@ def multisweep_strips(
     wst = t0 - halo                    # multiple of 8
     wt = px - wst
     win = strip + 2 * halo
-    params = jnp.stack(
-        [jnp.asarray(x, jnp.float32) for x in (st.c, st.w, st.e, st.s, st.n)]
-    ).reshape(1, 5)
     kernel = partial(
         _strips_kernel, px=px, py=py, nx=nx, ny=ny, sweeps=int(sweeps),
         omega=float(omega), method=method, strip=int(strip), halo=halo,
-        n_loop=n_loop, t0=t0, wst=wst, wt=wt,
+        n_loop=n_loop, t0=t0, wst=wst, wt=wt, n_in=n_in,
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
-        in_specs=[
+    if varcoef:
+        coefs = tuple(jnp.broadcast_to(jnp.asarray(x), u.shape)
+                      for x in (st.c, st.w, st.e, st.s, st.n))
+        inputs = (u, f) + coefs
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
+    else:
+        params = jnp.stack(
+            [jnp.asarray(x, jnp.float32)
+             for x in (st.c, st.w, st.e, st.s, st.n)]
+        ).reshape(1, 5)
+        inputs = (params, u, f)
+        in_specs = [
             pl.BlockSpec((1, 5), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ]
+    stream_dtypes = [u.dtype, f.dtype] + [
+        jnp.asarray(x).dtype for x in
+        ((st.c, st.w, st.e, st.s, st.n) if varcoef else ())
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, win, py), u.dtype),      # u windows
-            pltpu.VMEM((2, win, py), f.dtype),      # f windows
-            pltpu.VMEM((2, strip, py), u.dtype),    # out buffers
-            pltpu.VMEM((wt, py), u.dtype),          # tail u window
-            pltpu.VMEM((wt, py), f.dtype),          # tail f window
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, win, py), dt) for dt in stream_dtypes]   # windows
+            + [pltpu.VMEM((2, strip, py), u.dtype)]                  # out
+            + [pltpu.VMEM((wt, py), dt) for dt in stream_dtypes]     # tails
+            + [
+                pltpu.SemaphoreType.DMA((2, n_in)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((n_in,)),
+            ]
+        ),
         interpret=interpret,
-    )(params, u, f)
+    )(*inputs)

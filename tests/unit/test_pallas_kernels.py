@@ -54,12 +54,35 @@ def test_multisweep_preserves_boundary_and_padding(setup):
     assert np.all(got[:, 0] == 0) and np.all(got[: g.nx, g.ny - 1] == 0)
 
 
-def test_multisweep_rejects_variable_stencil(setup):
-    g, st, unknown, f, u0 = setup
-    st_arr = st_mod.Stencil(*(jnp.ones(g.shape_padded, jnp.float32)
-                              for _ in range(5)))
-    with pytest.raises(ValueError):
-        psmooth.multisweep(st_arr, u0, f, nx=g.nx, ny=g.ny, interpret=True)
+def _varcoef_problem(n, seed):
+    """Grid + variable-coefficient (smooth + 10:1 jump) stencil + fields."""
+    g = Grid(n, n)
+    X, Y = np.meshgrid(np.linspace(0, 1, g.shape_padded[0]),
+                       np.linspace(0, 1, g.shape_padded[1]), indexing="ij")
+    a = 1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(np.pi * Y)
+    a = np.where(X > 0.5, 10.0 * a, a).astype(np.float32)
+    st = st_mod.make_stencil(g, a=jnp.asarray(a), dtype=jnp.float32)
+    unknown = bc_mod.unknown_mask(g.nx, g.ny, g.shape_padded,
+                                  bc_mod.dirichlet())
+    rng = np.random.default_rng(seed)
+    f = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32)
+                    * np.asarray(unknown))
+    u0 = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32)
+                     * np.asarray(unknown))
+    return g, st, unknown, f, u0
+
+
+@pytest.mark.parametrize("method", ["jacobi", "rbgs"])
+@pytest.mark.parametrize("sweeps", [1, 3])
+def test_multisweep_varcoef_matches_xla(method, sweeps):
+    g, st, unknown, f, u0 = _varcoef_problem(17, 31)
+    omega = 0.8 if method == "jacobi" else 1.0
+    ref = smooth_mod.smooth(st, u0, f, unknown, method=method,
+                            sweeps=sweeps, omega=omega)
+    got = psmooth.multisweep(st, u0, f, nx=g.nx, ny=g.ny, method=method,
+                             sweeps=sweeps, omega=omega, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("method", ["jacobi", "rbgs"])
@@ -85,6 +108,21 @@ def test_multisweep_strips_matches_xla(method, n, strip):
                                     omega=omega, strip=strip, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["jacobi", "rbgs"])
+def test_multisweep_strips_varcoef_matches_xla(method):
+    """Streamed-coefficient strip kernel vs the XLA var-coef smoother,
+    covering strip seams with a 10:1 coefficient jump across them."""
+    g, st, unknown, f, u0 = _varcoef_problem(65, 37)
+    omega = 0.8 if method == "jacobi" else 1.0
+    ref = smooth_mod.smooth(st, u0, f, unknown, method=method,
+                            sweeps=2, omega=omega)
+    got = psmooth.multisweep_strips(st, u0, f, nx=g.nx, ny=g.ny,
+                                    method=method, sweeps=2, omega=omega,
+                                    strip=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_multisweep_strips_degenerate_single_window():
