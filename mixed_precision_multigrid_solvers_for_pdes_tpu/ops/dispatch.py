@@ -130,7 +130,11 @@ def transfer_fused_ok(lev, nxt, cfg) -> bool:
     if backend == "auto" and not _on_tpu():
         return False
     if jnp.ndim(lev.stencil.c) != 0:
-        return False
+        # variable coefficients: residual_restrict streams the five
+        # coefficient planes through VMEM (prolong_correct is
+        # stencil-independent). Same hardware-validation gate as smoothing.
+        if backend == "auto" and not VARCOEF_AUTO:
+            return False
     if lev.domain is not None or getattr(nxt, "domain", None) is not None:
         return False
     if cfg.restriction != "full_weighting" or cfg.prolongation != "bilinear":

@@ -21,8 +21,10 @@ Strip-tiled + double-buffered exactly like smooth.multisweep_strips (same
 Mosaic rules: int32 index math, 8-aligned dynamic DMA row offsets with
 pl.multiple_of, static-slice branches, static tail window).
 
-Constant-coefficient all-Dirichlet fast path only, mirroring the smoothing
-kernels; every other configuration stays on the XLA path via ops/dispatch.py.
+All-Dirichlet full-rectangle configurations only, mirroring the smoothing
+kernels (constant coefficients via SMEM scalars, variable coefficients via
+streamed VMEM coefficient windows); everything else stays on the XLA path
+via ops/dispatch.py.
 """
 
 from __future__ import annotations
@@ -101,13 +103,27 @@ def _rr_window(u, f, stp, gi0, woff, out_rows, nxf, nyf, ncx, ncy,
     return cpart
 
 
-def _rr_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f, tw_o,
-               in_sems, out_sems, tail_sems,
-               *, px, py, pxc, pyc, nxf, nyf, ncx, ncy, strip, halo,
-               n_loop, t0, wst, wt, ct0):
-    stp = tuple(p_ref[0, k] for k in range(5))
+def _rr_kernel(*refs, px, py, pxc, pyc, nxf, nyf, ncx, ncy, strip, halo,
+               n_loop, t0, wst, wt, ct0, n_in):
+    """Generic over ``n_in`` input streams: (u, f) with SMEM stencil scalars
+    (constant coefficients) or (u, f, c, w, e, s, n) with streamed
+    coefficient windows (variable coefficients)."""
+    if n_in == 2:
+        p_ref, refs = refs[0], refs[1:]
+    hbm_in = refs[:n_in]
+    o_hbm = refs[n_in]
+    ws = refs[n_in + 1: 2 * n_in + 1]
+    ow = refs[2 * n_in + 1]
+    tws = refs[2 * n_in + 2: 3 * n_in + 2]
+    tw_o = refs[3 * n_in + 2]
+    in_sems, out_sems, tail_sems = refs[3 * n_in + 3:]
     win = strip + 2 * halo
     cstrip = strip // 2
+
+    def window_stp(vals):
+        if n_in == 2:
+            return tuple(p_ref[0, k] for k in range(5))
+        return tuple(vals[2:7])
 
     def win_start(k):
         off = jnp.maximum(jnp.asarray(k * strip - halo, jnp.int32),
@@ -117,11 +133,10 @@ def _rr_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f, tw_o,
     def in_dma(slot, k):
         slot = jnp.asarray(slot, jnp.int32)
         st_row = win_start(k)
-        return (
-            pltpu.make_async_copy(u_hbm.at[pl.ds(st_row, win), :],
-                                  uw.at[slot], in_sems.at[slot, _np.int32(0)]),
-            pltpu.make_async_copy(f_hbm.at[pl.ds(st_row, win), :],
-                                  fw.at[slot], in_sems.at[slot, _np.int32(1)]),
+        return tuple(
+            pltpu.make_async_copy(h.at[pl.ds(st_row, win), :], wb.at[slot],
+                                  in_sems.at[slot, _np.int32(m)])
+            for m, (h, wb) in enumerate(zip(hbm_in, ws))
         )
 
     if n_loop > 0:
@@ -141,8 +156,9 @@ def _rr_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f, tw_o,
             d.wait()
 
         st_row = win_start(k)
-        u = uw[slot].astype(jnp.float32)
-        f = fw[slot].astype(jnp.float32)
+        vals = [wb[slot].astype(jnp.float32) for wb in ws]
+        u, f = vals[0], vals[1]
+        stp = window_stp(vals)
         crow0 = (k * cstrip).astype(jnp.int32)
 
         @pl.when(k >= 2)
@@ -178,16 +194,20 @@ def _rr_kernel(p_ref, u_hbm, f_hbm, o_hbm, uw, fw, ow, tw_u, tw_f, tw_o,
         # still emit its (win > px) DMAs
 
     # static tail: fine window [wst, px) -> coarse rows [ct0, pxc)
-    pltpu.make_async_copy(u_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_u,
-                          tail_sems.at[_np.int32(0)]).start()
-    pltpu.make_async_copy(f_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_f,
-                          tail_sems.at[_np.int32(1)]).start()
-    pltpu.make_async_copy(u_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_u,
-                          tail_sems.at[_np.int32(0)]).wait()
-    pltpu.make_async_copy(f_hbm.at[pl.ds(_np.int32(wst), wt), :], tw_f,
-                          tail_sems.at[_np.int32(1)]).wait()
-    u = tw_u[:].astype(jnp.float32)
-    f = tw_f[:].astype(jnp.float32)
+    def tail_dma():
+        return tuple(
+            pltpu.make_async_copy(h.at[pl.ds(_np.int32(wst), wt), :], tw,
+                                  tail_sems.at[_np.int32(m)])
+            for m, (h, tw) in enumerate(zip(hbm_in, tws))
+        )
+
+    for d in tail_dma():
+        d.start()
+    for d in tail_dma():
+        d.wait()
+    vals = [tw[:].astype(jnp.float32) for tw in tws]
+    u, f = vals[0], vals[1]
+    stp = window_stp(vals)
     crows = pxc - ct0
     woff = 2 * ct0 - wst
     tw_o[:] = _rr_window(u, f, stp, _np.int32(wst), woff, crows,
@@ -221,17 +241,23 @@ def residual_restrict(
 ):
     """fc = full-weighting restriction of (f - A u), fused in one kernel.
 
-    Constant-stencil all-Dirichlet path; numerics match
+    All-Dirichlet full-rectangle path; numerics match
     ``transfer.restrict(residual(...), method='full_weighting',
-    boundary='zero')`` (interior coarse nodes; ring zero)."""
-    if jnp.ndim(st.c) != 0:
-        raise ValueError("fused residual_restrict requires a scalar stencil")
+    boundary='zero')`` (interior coarse nodes; ring zero).
+
+    Variable-coefficient stencils (2-d leaves) stream the five coefficient
+    planes through their own double-buffered windows (n_in = 7), exactly
+    like smooth.multisweep_strips."""
+    varcoef = jnp.ndim(st.c) != 0
+    n_in = 7 if varcoef else 2
     px, py = u.shape
     pxc, pyc = pshape_coarse
     out_dtype = out_dtype or u.dtype
     halo = _HALO
-    # strip: multiple of 16 (coarse strips stay 8-aligned), VMEM-capped
-    cap = int(7e6 / (10 * py * u.dtype.itemsize)) - halo
+    # strip: multiple of 16 (coarse strips stay 8-aligned), VMEM-capped.
+    # scratch ~= (3*n_in + 3) strip-rows of py lanes (windows + tails + the
+    # half-size coarse out buffers); keep it ~<=7 MB of the 16 MB VMEM.
+    cap = int(7e6 / ((3 * n_in + 4) * py * u.dtype.itemsize)) - halo
     strip = max(16, (min(strip, cap, px) // 16) * 16)
     n_strips = px // strip
     n_loop = max(0, n_strips - 1)
@@ -242,37 +268,50 @@ def residual_restrict(
     ct0 = t0 // 2
     wst = max(0, t0 - halo)
     wt = px - wst
-    params = jnp.stack(
-        [jnp.asarray(x, jnp.float32) for x in (st.c, st.w, st.e, st.s, st.n)]
-    ).reshape(1, 5)
     kernel = partial(
         _rr_kernel, px=px, py=py, pxc=pxc, pyc=pyc, nxf=nxf, nyf=nyf,
         ncx=ncx, ncy=ncy, strip=int(strip), halo=halo, n_loop=int(n_loop),
-        t0=int(t0), wst=int(wst), wt=int(wt), ct0=int(ct0),
+        t0=int(t0), wst=int(wst), wt=int(wt), ct0=int(ct0), n_in=n_in,
     )
+    if varcoef:
+        coefs = tuple(jnp.broadcast_to(jnp.asarray(x), u.shape)
+                      for x in (st.c, st.w, st.e, st.s, st.n))
+        inputs = (u, f) + coefs
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_in
+    else:
+        params = jnp.stack(
+            [jnp.asarray(x, jnp.float32)
+             for x in (st.c, st.w, st.e, st.s, st.n)]
+        ).reshape(1, 5)
+        inputs = (params, u, f)
+        in_specs = [
+            pl.BlockSpec((1, 5), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+    stream_dtypes = [u.dtype, f.dtype] + [
+        jnp.asarray(x).dtype for x in
+        ((st.c, st.w, st.e, st.s, st.n) if varcoef else ())
+    ]
     win = strip + 2 * halo
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((pxc, pyc), out_dtype),
-        in_specs=[
-            pl.BlockSpec((1, 5), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, win, py), u.dtype),
-            pltpu.VMEM((2, win, py), f.dtype),
-            pltpu.VMEM((2, strip // 2, pyc), out_dtype),
-            pltpu.VMEM((wt, py), u.dtype),
-            pltpu.VMEM((wt, py), f.dtype),
-            pltpu.VMEM((pxc - ct0, pyc), out_dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, win, py), dt) for dt in stream_dtypes]
+            + [pltpu.VMEM((2, strip // 2, pyc), out_dtype)]
+            + [pltpu.VMEM((wt, py), dt) for dt in stream_dtypes]
+            + [
+                pltpu.VMEM((pxc - ct0, pyc), out_dtype),
+                pltpu.SemaphoreType.DMA((2, n_in)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((n_in,)),
+            ]
+        ),
         interpret=interpret,
-    )(params, u, f)
+    )(*inputs)
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,11 @@
 from . import distributed, halo, mesh  # noqa: F401
 from .halo import global_residual_norm, shard_smooth  # noqa: F401
 from .distributed import make_constrainer, shard_inputs, sharded_solve  # noqa: F401
-from .mesh import choose_mesh_shape, grid_sharding, make_mesh, replicated  # noqa: F401
+from .mesh import (  # noqa: F401
+    choose_mesh_shape,
+    graded_sharding,
+    grid_sharding,
+    make_graded_mesh,
+    make_mesh,
+    replicated,
+)

@@ -25,19 +25,28 @@ from ..solvers.multigrid import MultigridConfig
 from . import mesh as mesh_mod
 
 
+def _sharding_fn(mesh):
+    """Pick the per-level sharding rule matching the mesh's axis names:
+    graded three-tier for make_graded_mesh meshes, two-tier otherwise."""
+    if set(mesh.axis_names) == set(mesh_mod.GRADED_AXES):
+        return mesh_mod.graded_sharding
+    return mesh_mod.grid_sharding
+
+
 def make_constrainer(mesh, min_points_per_device: int = 16):
     """(array, Level) -> array hook injecting per-level sharding constraints."""
+    sharding = _sharding_fn(mesh)
 
     def constrain(arr, lev):
         return jax.lax.with_sharding_constraint(
-            arr, mesh_mod.grid_sharding(mesh, lev.grid, min_points_per_device)
+            arr, sharding(mesh, lev.grid, min_points_per_device)
         )
 
     return constrain
 
 
 def shard_inputs(mesh, levels, *arrays, min_points_per_device: int = 16):
-    sh = mesh_mod.grid_sharding(mesh, levels[0].grid, min_points_per_device)
+    sh = _sharding_fn(mesh)(mesh, levels[0].grid, min_points_per_device)
     out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 

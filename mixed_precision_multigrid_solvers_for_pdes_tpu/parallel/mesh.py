@@ -91,6 +91,68 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+# ---------------------------------------------------------------------------
+# Graded sub-mesh agglomeration
+# ---------------------------------------------------------------------------
+
+GRADED_AXES = ("xo", "xi", "yo", "yi")
+
+
+def _factor2(m: int) -> Tuple[int, int]:
+    """(outer, inner) factoring of one mesh axis: inner=2 gives one 2-way
+    agglomeration step; odd / unit axes get no intermediate tier."""
+    return (m // 2, 2) if m % 2 == 0 and m > 1 else (m, 1)
+
+
+def make_graded_mesh(
+    devices: Optional[Sequence] = None,
+    shape: Optional[Tuple[int, int, int, int]] = None,
+    grid: Optional[Grid] = None,
+) -> Mesh:
+    """4-axis mesh ('xo','xi','yo','yi') for graded coarse-level
+    agglomeration: each spatial mesh axis is factored into outer x inner.
+
+    Fine levels shard over both factors (identical layout to the plain
+    ('x','y') mesh); mid levels shard over the OUTER factors only — a true
+    sub-mesh, with (xi*yi)-way replica groups, so the shrink collective is
+    an all-gather within small inner groups instead of a full all-gather to
+    every device; the coarsest levels replicate. This is the sub-mesh
+    variant of the coarse-grid handling the reference faked entirely
+    (reference gpu/multi_gpu_solver.py:574-593); the two-tier
+    block->replicated default lives in grid_sharding above."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        mx, my = choose_mesh_shape(len(devices), grid)
+        shape = _factor2(mx) + _factor2(my)
+    arr = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(arr, GRADED_AXES)
+
+
+def graded_sharding(mesh: Mesh, grid: Grid, min_points_per_device: int = 16):
+    """NamedSharding with three tiers per axis: block over (outer, inner)
+    while every device keeps >= min_points_per_device logical rows/cols,
+    else block over the outer factor only (inner groups replicate), else
+    replicated. Requires a mesh from make_graded_mesh."""
+    px, py = grid.shape_padded
+
+    def axis_spec(n, p, outer_name, inner_name):
+        outer = mesh.shape[outer_name]
+        inner = mesh.shape[inner_name]
+        full = outer * inner
+        if n // full >= min_points_per_device and p % full == 0:
+            return (outer_name, inner_name)
+        if outer > 1 and n // outer >= min_points_per_device \
+                and p % outer == 0:
+            return outer_name
+        return None
+
+    return NamedSharding(
+        mesh,
+        P(axis_spec(grid.nx, px, "xo", "xi"),
+          axis_spec(grid.ny, py, "yo", "yi")),
+    )
+
+
 def shard_level_arrays(mesh: Mesh, grid: Grid, *arrays, min_points_per_device: int = 16):
     """device_put arrays with the level's sharding."""
     sh = grid_sharding(mesh, grid, min_points_per_device)

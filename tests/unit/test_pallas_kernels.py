@@ -177,6 +177,23 @@ def test_fused_residual_restrict_matches_xla(n):
                                np.asarray(ref) / scale, atol=1e-6)
 
 
+@pytest.mark.parametrize("n,strip", [(65, 32), (129, 48)])
+def test_fused_residual_restrict_varcoef_matches_xla(n, strip):
+    """Streamed-coefficient fused kernel vs XLA residual-then-restrict,
+    with a 10:1 coefficient jump crossing the strip seams."""
+    g, st, unknown, f, u = _varcoef_problem(n, n + 3)
+    gc = g.coarsen()
+    r = st_mod.residual(st, u, f, unknown)
+    ref = transfer_mod.restrict(r, gc.nx, gc.ny, gc.shape_padded,
+                                method="full_weighting", dtype=jnp.float32)
+    got = ptransfer.residual_restrict(
+        st, u, f, nxf=g.nx, nyf=g.ny, ncx=gc.nx, ncy=gc.ny,
+        pshape_coarse=gc.shape_padded, strip=strip, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=2e-6)
+
+
 @pytest.mark.parametrize("n", [65, 129])
 def test_fused_prolong_correct_matches_xla(n):
     g = Grid(n, n)

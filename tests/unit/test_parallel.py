@@ -67,6 +67,48 @@ class TestShardedSolve:
         assert prob.error_norms(u)["l2"] < 1e-3
 
 
+class TestGradedAgglomeration:
+    """Sub-mesh coarse agglomeration: mid levels shard over the outer mesh
+    factors only (small replica groups) instead of jumping straight from
+    fully-sharded to fully-replicated."""
+
+    @pytest.fixture(scope="class")
+    def gmesh(self):
+        return parallel.make_graded_mesh(jax.devices()[:8])
+
+    def test_three_tiers(self, gmesh):
+        from jax.sharding import PartitionSpec
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid import Grid
+
+        # 8 devices near-square -> (mx, my) = (2, 4) or (4, 2); inner factor
+        # 2 on each even axis
+        sizes = dict(zip(gmesh.axis_names,
+                         (gmesh.shape[a] for a in gmesh.axis_names)))
+        assert sizes["xo"] * sizes["xi"] * sizes["yo"] * sizes["yi"] == 8
+
+        fine = parallel.graded_sharding(gmesh, Grid(257, 257)).spec
+        mid = parallel.graded_sharding(gmesh, Grid(33, 33)).spec
+        coarse = parallel.graded_sharding(gmesh, Grid(5, 5)).spec
+        # 8 devices -> (mx, my) = (2, 4) -> factored (1, 2, 2, 2)
+        assert fine == PartitionSpec(("xo", "xi"), ("yo", "yi"))
+        # 33//4 < 16 <= 33//2: the 4-way y axis drops to its outer factor
+        # (2-device sub-mesh, 2-way replica groups); x keeps the full tier
+        assert mid == PartitionSpec(("xo", "xi"), "yo")
+        assert coarse == PartitionSpec(None, None)
+
+    def test_solve_matches_single_device(self, gmesh):
+        prob = P.poisson_mms_sinsin(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG)
+        f = prob.rhs(jnp.float64)
+        u_ref, info_ref = mg.mg_solve(levels, f, None, CFG)
+        u_sh, info_sh = parallel.sharded_solve(gmesh, levels, f, cfg=CFG)
+        assert info_sh["converged"]
+        assert info_sh["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
+
+
 class TestExplicitHalo:
     def test_shard_smooth_matches_xla(self, mesh):
         """shard_map+ppermute smoothing == whole-array XLA smoothing, exactly."""
