@@ -70,16 +70,6 @@ class HeatConfig:
             raise ValueError(f"unknown scheme {self.scheme!r}; one of {SCHEMES}")
         if self.scheme == "theta" and not (0.0 < self.theta <= 1.0):
             raise ValueError("theta must be in (0, 1]")
-        if self.adaptive_dt and self.scheme == "bdf2":
-            # Uniform-step BDF2 coefficients (3,-4,1)/(2dt) are wrong when
-            # u_prev sits a *different* dt back, and the step-doubling
-            # controller's Richardson exponent assumes a consistent one-step
-            # method. Use crank_nicolson (also order 2) for adaptive runs.
-            raise ValueError(
-                "adaptive_dt is not supported with scheme='bdf2' (variable-"
-                "step BDF2 needs history-dependent coefficients); use "
-                "scheme='crank_nicolson' for adaptive order-2 stepping"
-            )
 
     @property
     def effective_theta(self) -> float:
@@ -286,15 +276,26 @@ def make_step_fn(
         return step
 
     if cfg.scheme == "bdf2":
-        # (3u^{n+1} - 4u^n + u^{n-1})/(2dt) = alpha(-A_sp u^{n+1}) + q^{n+1}
-        def step(u_prev, u, t, dt):
+        # Variable-step BDF2 with ratio r = dt/dt_prev (u_prev sits dt_prev
+        # back; reference heat_equation.py:187-266 only had the uniform r=1
+        # form):
+        #   [(1+2r)/((1+r)dt)] u^{n+1} - [(1+r)/dt] u^n + [r^2/((1+r)dt)]
+        #     u^{n-1} = alpha(-A_sp u^{n+1}) + q^{n+1}
+        # r=1 reduces to the classic (3, -4, 1)/(2dt) coefficients (the
+        # fixed-dt scan path passes dt_prev=None).
+        def step(u_prev, u, t, dt, dt_prev=None):
             tn1 = t + dt
             dt_ = dt.astype(dtype)
-            lam = 3.0 / (2.0 * alpha * dt_)
+            if dt_prev is None:
+                r = jnp.ones((), dtype)
+            else:
+                r = (dt / dt_prev).astype(dtype)
+            lam = (1.0 + 2.0 * r) / ((1.0 + r) * alpha * dt_)
             levels = shift_hierarchy(levels0, lam)
             cbc1 = _bc_correction(problem, grid, spec, tn1, dtype)
             F = (
-                (4.0 * u - u_prev) / (2.0 * alpha * dt_)
+                ((1.0 + r) * u - (r * r / (1.0 + r)) * u_prev)
+                / (alpha * dt_)
                 + _source(problem, X, Y, tn1, dtype) / alpha
                 + cbc1
             )
@@ -440,14 +441,27 @@ def solve_heat(
 
 
 def _solve_adaptive(problem, levels0, cfg, step, u0, t_final, dt0):
-    """Step-doubling: accept when |u_dt - u_{dt/2,x2}| / (2^p - 1) < dt_tol."""
+    """Step-doubling: accept when |u_dt - u_{dt/2,x2}| / (2^p - 1) < dt_tol.
+
+    BDF2 runs with variable-step coefficients (r = dt/dt_prev) and is
+    bootstrapped by an error-controlled Crank-Nicolson first step (both order
+    2, so one Richardson exponent serves the whole run). After an accepted
+    step the kept history is (half-step state, two-half-steps state), so the
+    next step's dt_prev is dt/2."""
     p = cfg.order
     denom = 2.0**p - 1.0
+    is_bdf2 = cfg.scheme == "bdf2"
     t, u, u_prev = 0.0, u0, u0
     dt = float(dt0)
+    dt_prev = 0.0  # spacing of (u_prev, u); 0 until a bdf2 history exists
     dts: list = []
     saved: list = []
     nsteps = 0
+
+    if is_bdf2:
+        step_cn = make_step_fn(
+            problem, levels0, dataclasses.replace(cfg, scheme="crank_nicolson")
+        )
 
     @jax.jit
     def try_step(u_prev, u, t, dt):
@@ -455,16 +469,42 @@ def _solve_adaptive(problem, levels0, cfg, step, u0, t_final, dt0):
         half = step(u_prev, u, t, 0.5 * dt)
         two = step(u, half, t + 0.5 * dt, 0.5 * dt)
         err = jnp.max(jnp.abs(big - two)) / denom
-        return two, err  # keep the more accurate two-half-steps state
+        # keep the more accurate two-half-steps state (+ its half history)
+        return half, two, err
+
+    @jax.jit
+    def try_step_boot(u, t, dt):
+        """One-step CN trial (bdf2 bootstrap: no valid u_prev yet)."""
+        big = step_cn(u, u, t, dt)
+        half = step_cn(u, u, t, 0.5 * dt)
+        two = step_cn(half, half, t + 0.5 * dt, 0.5 * dt)
+        err = jnp.max(jnp.abs(big - two)) / 3.0  # CN is order 2
+        return half, two, err
+
+    @jax.jit
+    def try_step_bdf(u_prev, u, t, dt, dt_prev):
+        big = step(u_prev, u, t, dt, dt_prev)
+        half = step(u_prev, u, t, 0.5 * dt, dt_prev)
+        two = step(u, half, t + 0.5 * dt, 0.5 * dt, 0.5 * dt)
+        err = jnp.max(jnp.abs(big - two)) / denom
+        return half, two, err
 
     while t < t_final - 1e-14:
         dt = min(dt, t_final - t, cfg.dt_max)
         t_t = jnp.asarray(t, jnp.float64)
         dt_t = jnp.asarray(dt, jnp.float64)
-        u_new, err = try_step(u_prev, u, t_t, dt_t)
+        if not is_bdf2:
+            half, u_new, err = try_step(u_prev, u, t_t, dt_t)
+        elif nsteps == 0:
+            half, u_new, err = try_step_boot(u, t_t, dt_t)
+        else:
+            half, u_new, err = try_step_bdf(
+                u_prev, u, t_t, dt_t, jnp.asarray(dt_prev, jnp.float64)
+            )
         err = float(err)
         if err <= cfg.dt_tol or dt <= cfg.dt_min * (1 + 1e-12):
-            u_prev, u = u, u_new
+            u_prev, u = (half, u_new) if is_bdf2 else (u, u_new)
+            dt_prev = 0.5 * dt
             t += dt
             nsteps += 1
             dts.append(dt)

@@ -99,6 +99,93 @@ class TestSourcesAndBCs:
         assert res.errors["l2"] < 5e-3
 
 
+class TestVariableStepBDF2:
+    """Variable-step BDF2 coefficients (r = dt/dt_prev) are exact on
+    solutions quadratic in time; with quadratic-in-space data the whole
+    step is exact, so any coefficient error shows up directly."""
+
+    @staticmethod
+    def _quad_quad_problem(n=33, alpha=1.0):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
+            heat_problem_from_callables,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid import Grid
+
+        def exact(X, Y, t):
+            return (X**2 + Y**2) * (1 + t + t * t)
+
+        def q(X, Y, t):
+            return (X**2 + Y**2) * (1 + 2 * t) - 4 * alpha * (1 + t + t * t)
+
+        return heat_problem_from_callables(
+            "quad_quad", Grid(n, n), alpha=alpha, exact=exact, q=q
+        )
+
+    def test_unequal_steps_exact_on_quadratics(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
+            make_step_fn,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import (
+            multigrid as mg_mod,
+        )
+
+        prob = self._quad_quad_problem()
+        cfg = HeatConfig(scheme="bdf2", cycles_per_step=2, dtype="float64",
+                         step_rtol=1e-12, max_cycles_per_step=30)
+        levels0 = mg_mod.build_hierarchy(
+            prob.grid, prob.spec, lam=0.0, dtype="float64", cfg=cfg.mg
+        )
+        step = make_step_fn(prob, levels0, cfg)
+        X, Y = prob.mesh(jnp.float64)
+        t0, dt_prev, dt = 0.1, 0.02, 0.05  # r = 2.5
+        u_prev = jnp.asarray(prob.exact(X, Y, t0))
+        u = jnp.asarray(prob.exact(X, Y, t0 + dt_prev))
+        got = step(u_prev, u, jnp.asarray(t0 + dt_prev), jnp.asarray(dt),
+                   jnp.asarray(dt_prev))
+        want = np.asarray(prob.exact(X, Y, t0 + dt_prev + dt))
+        # padded region is zero in `got`; compare the logical region only
+        nx, ny = prob.grid.nx, prob.grid.ny
+        np.testing.assert_allclose(np.asarray(got)[:nx, :ny],
+                                   want[:nx, :ny], atol=1e-9)
+
+    def test_r_equal_one_matches_uniform_formula(self):
+        """dt_prev=dt must reproduce the fixed-dt (classic 3,-4,1) path."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
+            make_step_fn,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import (
+            multigrid as mg_mod,
+        )
+
+        prob = HP.oscillating(33)
+        cfg = HeatConfig(scheme="bdf2", cycles_per_step=2, dtype="float64")
+        levels0 = mg_mod.build_hierarchy(
+            prob.grid, prob.spec, lam=0.0, dtype="float64", cfg=cfg.mg
+        )
+        step = make_step_fn(prob, levels0, cfg)
+        X, Y = prob.mesh(jnp.float64)
+        dt = 0.01
+        u_prev = jnp.asarray(prob.exact(X, Y, 0.0))
+        u = jnp.asarray(prob.exact(X, Y, dt))
+        a = step(u_prev, u, jnp.asarray(dt), jnp.asarray(dt))
+        b = step(u_prev, u, jnp.asarray(dt), jnp.asarray(dt),
+                 jnp.asarray(dt))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-13)
+
+    def test_adaptive_bdf2_reaches_tolerance(self):
+        prob = HP.oscillating(33)
+        cfg = HeatConfig(
+            scheme="bdf2", cycles_per_step=2, dtype="float64",
+            adaptive_dt=True, dt_tol=1e-5,
+        )
+        res = solve_heat(prob, t_final=0.1, dt=0.02, cfg=cfg)
+        assert res.t == pytest.approx(0.1, abs=1e-10)
+        assert res.steps >= 5
+        assert res.errors["l2"] < 1e-3
+        assert res.dt_history.size == res.steps
+
+
 class TestAdaptiveDt:
     def test_adaptive_reaches_tolerance(self):
         prob = HP.oscillating(33)
