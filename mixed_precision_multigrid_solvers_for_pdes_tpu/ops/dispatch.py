@@ -113,6 +113,39 @@ def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
     )
 
 
+# 'auto' routes 3D smoothing to the rolling-plane pipeline kernel only once
+# it has been Mosaic-compiled and timed on real hardware; backend='pallas'
+# always tries.
+SMOOTH3D_AUTO = False
+
+
+def pallas_smooth3d_ok(stencil, u, lev, backend: str, method: str) -> bool:
+    """Gate for the 3D rolling-plane RB-GS kernel
+    (ops/pallas_kernels/smooth3d.py): rbgs-family smoother on a
+    constant-coefficient all-Dirichlet box, fp32/bf16, >= 4 x-planes,
+    level big enough to amortize the launch."""
+    if method not in ("rbgs", "gauss_seidel", "red_black", "sor",
+                      "rbgs_rev"):
+        return False
+    if backend == "xla":
+        return False
+    if backend == "auto" and (not SMOOTH3D_AUTO or not _on_tpu()):
+        return False
+    if jnp.ndim(stencil.c) != 0:
+        return False
+    from ..core import bc3d
+    from ..core.bc import BCKind
+
+    if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
+               for s in bc3d.SIDES3D):
+        return False
+    if u.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if u.shape[0] < 4:
+        return False
+    return u.size * u.dtype.itemsize >= _MIN_PALLAS_BYTES
+
+
 def transfer_fused_ok(lev, nxt, cfg) -> bool:
     """True when the fused Pallas residual+restrict / prolong+correct pair
     (ops/pallas_kernels/transfer.py) may replace the XLA transfer chain in

@@ -172,17 +172,39 @@ def smooth3d(st: Stencil3D, u, f, unknown, *, method: str = "rbgs",
 # cycles + solve
 # --------------------------------------------------------------------------
 
+def _smooth3_dispatch(lev, u, f, unknown, *, method, sweeps, omega, sync,
+                      backend="auto", reverse=False):
+    """Route to the Pallas rolling-plane kernel when eligible
+    (ops/dispatch.pallas_smooth3d_ok), else the XLA smoother above."""
+    from ..ops import dispatch
+
+    if sync is None and dispatch.pallas_smooth3d_ok(
+        lev.stencil, u, lev, backend, method
+    ):
+        from ..ops.pallas_kernels import smooth3d as ps3
+
+        g = lev.grid
+        return ps3.rbgs_planes(
+            lev.stencil, u, f, nx=g.nx, ny=g.ny, nz=g.nz,
+            sweeps=sweeps, omega=omega, reverse=reverse,
+        )
+    return smooth3d(lev.stencil, u, f, unknown, method=method, sweeps=sweeps,
+                    omega=omega, sync=sync, reverse=reverse)
+
+
 def _cycle3(levels, u, f, lvl: int, cfg: MultigridConfig, cycle_type: str,
             constrain=None):
     lev = levels[lvl]
     unknown = lev.unknown
     sync = lev.sync
     if lvl == len(levels) - 1:
-        return smooth3d(lev.stencil, u, f, unknown, method="rbgs",
-                        sweeps=cfg.coarse_sweeps, omega=1.0, sync=sync)
+        return _smooth3_dispatch(lev, u, f, unknown, method="rbgs",
+                                 sweeps=cfg.coarse_sweeps, omega=1.0,
+                                 sync=sync, backend=cfg.backend)
 
-    u = smooth3d(lev.stencil, u, f, unknown, method=cfg.smoother,
-                 sweeps=cfg.pre_sweeps, omega=cfg.omega, sync=sync)
+    u = _smooth3_dispatch(lev, u, f, unknown, method=cfg.smoother,
+                          sweeps=cfg.pre_sweeps, omega=cfg.omega, sync=sync,
+                          backend=cfg.backend)
     r = st3.residual(lev.stencil, u, f, unknown, sync)
     nxt = levels[lvl + 1]
     plain = all(
@@ -219,10 +241,11 @@ def _cycle3(levels, u, f, lvl: int, cfg: MultigridConfig, cycle_type: str,
     if constrain is not None:
         e = constrain(e, lev)
     u = jnp.where(unknown, u + e, u)
-    u = smooth3d(lev.stencil, u, f, unknown, method=cfg.smoother,
-                 sweeps=cfg.post_sweeps, omega=cfg.omega, sync=sync,
-                 reverse=cfg.symmetric and cfg.smoother in
-                 ("rbgs", "gauss_seidel", "red_black", "sor"))
+    u = _smooth3_dispatch(lev, u, f, unknown, method=cfg.smoother,
+                          sweeps=cfg.post_sweeps, omega=cfg.omega, sync=sync,
+                          backend=cfg.backend,
+                          reverse=cfg.symmetric and cfg.smoother in
+                          ("rbgs", "gauss_seidel", "red_black", "sor"))
     return u
 
 

@@ -272,3 +272,79 @@ def test_tail_vcycle_jacobi_matches_xla_cycle():
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 3D rolling-plane pipeline kernel
+# ---------------------------------------------------------------------------
+
+def _setup3d(shape, seed=7):
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid3d import Grid3D
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import stencil3d as st3
+
+    g = Grid3D(*shape)
+    st = st3.make_stencil3d(g, dtype=jnp.float32)
+    unknown = st3.unknown_mask3d(g)
+    rng = np.random.default_rng(seed)
+    f = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32)
+                    * np.asarray(unknown))
+    u0 = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32)
+                     * np.asarray(unknown))
+    return g, st, unknown, f, u0
+
+
+@pytest.mark.parametrize("shape", [(17, 17, 17), (9, 33, 9)])
+@pytest.mark.parametrize("sweeps,omega,reverse", [
+    (1, 1.0, False), (2, 1.0, False), (1, 1.3, False), (2, 1.0, True),
+])
+def test_rbgs_planes_matches_xla(shape, sweeps, omega, reverse):
+    """Pipeline kernel == XLA 3D RB-GS, bit-level at fp32 (same op order)."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels import (
+        smooth3d as ps3,
+    )
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid3d import (
+        smooth3d,
+    )
+
+    g, st, unknown, f, u0 = _setup3d(shape)
+    ref = smooth3d(st, u0, f, unknown, method="rbgs", sweeps=sweeps,
+                   omega=omega, reverse=reverse)
+    got = ps3.rbgs_planes(st, u0, f, nx=g.nx, ny=g.ny, nz=g.nz,
+                          sweeps=sweeps, omega=omega, reverse=reverse,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_rbgs_planes_multistrip_matches_xla():
+    """Force y-strips (ystrip=8 -> several windows + halo re-reads)."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels import (
+        smooth3d as ps3,
+    )
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid3d import (
+        smooth3d,
+    )
+
+    g, st, unknown, f, u0 = _setup3d((9, 65, 9), seed=13)
+    ref = smooth3d(st, u0, f, unknown, method="rbgs", sweeps=2, omega=1.0)
+    got = ps3.rbgs_planes(st, u0, f, nx=g.nx, ny=g.ny, nz=g.nz,
+                          sweeps=2, omega=1.0, ystrip=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_rbgs_planes_preserves_boundary_and_padding():
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels import (
+        smooth3d as ps3,
+    )
+
+    g, st, unknown, f, u0 = _setup3d((17, 17, 17))
+    got = np.asarray(ps3.rbgs_planes(st, u0, f, nx=g.nx, ny=g.ny, nz=g.nz,
+                                     sweeps=2, interpret=True))
+    assert np.all(got[0] == 0) and np.all(got[g.nx - 1, : g.ny, : g.nz] == 0)
+    assert np.all(got[:, 0, :] == 0) and np.all(got[: g.nx, g.ny - 1, : g.nz] == 0)
+    assert np.all(got[:, :, 0] == 0) and np.all(got[: g.nx, : g.ny, g.nz - 1] == 0)
+    # padding region untouched (stays zero)
+    assert np.all(got[g.nx:, :, :] == 0)
+    assert np.all(got[:, g.ny:, :] == 0)
+    assert np.all(got[:, :, g.nz:] == 0)
