@@ -146,6 +146,44 @@ def pallas_smooth3d_ok(stencil, u, lev, backend: str, method: str) -> bool:
     return u.size * u.dtype.itemsize >= _MIN_PALLAS_BYTES
 
 
+# 'auto' routes 3D transfers to the fused plane-pipeline kernels only once
+# they are Mosaic-compiled and timed on real hardware; backend='pallas'
+# always tries.
+TRANSFER3D_AUTO = False
+
+
+def transfer_fused3d_ok(lev, nxt, cfg) -> bool:
+    """Gate for the fused 3D residual+restrict / prolong+correct kernels
+    (ops/pallas_kernels/transfer3d.py): scalar all-Dirichlet stencil,
+    fp32/bf16, >= 4 x-planes, whole (py, pz) planes within the VMEM plane
+    budget, level big enough to amortize two launches."""
+    backend = cfg.backend
+    if backend == "xla":
+        return False
+    if backend == "auto" and (not TRANSFER3D_AUTO or not _on_tpu()):
+        return False
+    if jnp.ndim(lev.stencil.c) != 0:
+        return False
+    if cfg.restriction != "full_weighting":
+        return False
+    from ..core import bc3d
+    from ..core.bc import BCKind
+
+    if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
+               for s in bc3d.SIDES3D):
+        return False
+    for dt in (lev.dtype, nxt.dtype):
+        if jnp.dtype(dt) not in (jnp.dtype(jnp.float32),
+                                 jnp.dtype(jnp.bfloat16)):
+            return False
+    from .pallas_kernels.transfer3d import PLANE_BUDGET_BYTES
+
+    px, py, pz = lev.grid.shape_padded
+    if px < 4 or py * pz * 4 > PLANE_BUDGET_BYTES:
+        return False
+    return px * py * pz * jnp.dtype(lev.dtype).itemsize >= _MIN_TRANSFER_BYTES
+
+
 def transfer_fused_ok(lev, nxt, cfg) -> bool:
     """True when the fused Pallas residual+restrict / prolong+correct pair
     (ops/pallas_kernels/transfer.py) may replace the XLA transfer chain in

@@ -205,8 +205,10 @@ def _cycle3(levels, u, f, lvl: int, cfg: MultigridConfig, cycle_type: str,
     u = _smooth3_dispatch(lev, u, f, unknown, method=cfg.smoother,
                           sweeps=cfg.pre_sweeps, omega=cfg.omega, sync=sync,
                           backend=cfg.backend)
-    r = st3.residual(lev.stencil, u, f, unknown, sync)
     nxt = levels[lvl + 1]
+    from ..ops import dispatch
+
+    fused = constrain is None and dispatch.transfer_fused3d_ok(lev, nxt, cfg)
     plain = all(
         lev.spec.side(s).kind in (BCKind.DIRICHLET, BCKind.PERIODIC)
         for s in bc3.SIDES3D
@@ -215,13 +217,24 @@ def _cycle3(levels, u, f, lvl: int, cfg: MultigridConfig, cycle_type: str,
         lev.spec.side(s).kind == BCKind.PERIODIC
         for s in ("west", "south", "bottom")
     )
-    if any(wrap):
-        r = sync(r)
-    fc = transfer3d.restrict3d(
-        r, nxt.grid.nx, nxt.grid.ny, nxt.grid.nz, nxt.grid.shape_padded,
-        method="full_weighting", boundary="zero" if plain else "reflect",
-        dtype=nxt.dtype, wrap=wrap,
-    )
+    if fused:
+        from ..ops.pallas_kernels import transfer3d as pt3
+
+        fc = pt3.residual_restrict3d(
+            lev.stencil, u, f,
+            nxf=lev.grid.nx, nyf=lev.grid.ny, nzf=lev.grid.nz,
+            ncx=nxt.grid.nx, ncy=nxt.grid.ny, ncz=nxt.grid.nz,
+            pshape_coarse=nxt.grid.shape_padded, out_dtype=nxt.dtype,
+        )
+    else:
+        r = st3.residual(lev.stencil, u, f, unknown, sync)
+        if any(wrap):
+            r = sync(r)
+        fc = transfer3d.restrict3d(
+            r, nxt.grid.nx, nxt.grid.ny, nxt.grid.nz, nxt.grid.shape_padded,
+            method="full_weighting", boundary="zero" if plain else "reflect",
+            dtype=nxt.dtype, wrap=wrap,
+        )
     if constrain is not None:
         fc = constrain(fc, nxt)
     if not plain:
@@ -233,14 +246,22 @@ def _cycle3(levels, u, f, lvl: int, cfg: MultigridConfig, cycle_type: str,
         ec = _cycle3(levels, ec, fc, lvl + 1, cfg, "W", constrain)
     if any(wrap):
         ec = nxt.sync(ec)
-    e = transfer3d.prolong3d(
-        ec, nxt.grid.nx, nxt.grid.ny, nxt.grid.nz,
-        lev.grid.nx, lev.grid.ny, lev.grid.nz, lev.grid.shape_padded,
-        dtype=lev.dtype,
-    )
-    if constrain is not None:
-        e = constrain(e, lev)
-    u = jnp.where(unknown, u + e, u)
+    if fused:
+        from ..ops.pallas_kernels import transfer3d as pt3
+
+        u = pt3.prolong_correct3d(
+            ec, u, ncx=nxt.grid.nx, ncy=nxt.grid.ny, ncz=nxt.grid.nz,
+            nxf=lev.grid.nx, nyf=lev.grid.ny, nzf=lev.grid.nz,
+        )
+    else:
+        e = transfer3d.prolong3d(
+            ec, nxt.grid.nx, nxt.grid.ny, nxt.grid.nz,
+            lev.grid.nx, lev.grid.ny, lev.grid.nz, lev.grid.shape_padded,
+            dtype=lev.dtype,
+        )
+        if constrain is not None:
+            e = constrain(e, lev)
+        u = jnp.where(unknown, u + e, u)
     u = _smooth3_dispatch(lev, u, f, unknown, method=cfg.smoother,
                           sweeps=cfg.post_sweeps, omega=cfg.omega, sync=sync,
                           backend=cfg.backend,

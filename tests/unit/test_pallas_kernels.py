@@ -348,3 +348,60 @@ def test_rbgs_planes_preserves_boundary_and_padding():
     assert np.all(got[g.nx:, :, :] == 0)
     assert np.all(got[:, g.ny:, :] == 0)
     assert np.all(got[:, :, g.nz:] == 0)
+
+
+# ---------------------------------------------------------------------------
+# 3D fused transfer kernels
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(17, 17, 17), (9, 33, 9), (33, 9, 17)])
+def test_fused_residual_restrict3d_matches_xla(shape):
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import (
+        stencil3d as st3,
+        transfer3d as t3,
+    )
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels import (
+        transfer3d as pt3,
+    )
+
+    g, st, unknown, f, u = _setup3d(shape, seed=5)
+    gc = g.coarsen()
+    r = st3.residual(st, u, f, unknown)
+    ref = t3.restrict3d(r, gc.nx, gc.ny, gc.nz, gc.shape_padded,
+                        method="full_weighting", dtype=jnp.float32)
+    got = pt3.residual_restrict3d(
+        st, u, f, nxf=g.nx, nyf=g.ny, nzf=g.nz,
+        ncx=gc.nx, ncy=gc.ny, ncz=gc.nz,
+        pshape_coarse=gc.shape_padded, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(17, 17, 17), (9, 33, 9), (33, 9, 17)])
+def test_fused_prolong_correct3d_matches_xla(shape):
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid3d import Grid3D
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import (
+        stencil3d as st3,
+        transfer3d as t3,
+    )
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels import (
+        transfer3d as pt3,
+    )
+
+    g, st, unknown, f, u = _setup3d(shape, seed=8)
+    gc = g.coarsen()
+    rng = np.random.default_rng(21)
+    ec = np.zeros(gc.shape_padded, np.float32)
+    ec[: gc.nx, : gc.ny, : gc.nz] = rng.standard_normal(
+        (gc.nx, gc.ny, gc.nz)).astype(np.float32)
+    ec = jnp.asarray(ec)
+    e = t3.prolong3d(ec, gc.nx, gc.ny, gc.nz, g.nx, g.ny, g.nz,
+                     g.shape_padded, dtype=jnp.float32)
+    ref = jnp.where(unknown, u + e, u)
+    got = pt3.prolong_correct3d(
+        ec, u, ncx=gc.nx, ncy=gc.ny, ncz=gc.nz,
+        nxf=g.nx, nyf=g.ny, nzf=g.nz, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=1e-6)
