@@ -78,15 +78,16 @@ def solve_heat3d(
     dt: float,
     cfg: HeatConfig = HeatConfig(),
 ) -> Dict[str, Any]:
-    """Fixed-dt integration under one lax.scan (theta schemes + explicit)."""
+    """Fixed-dt integration under one lax.scan (theta schemes, BDF2 with a
+    Crank-Nicolson bootstrap, explicit)."""
     if cfg.scheme not in ("explicit", "backward_euler", "crank_nicolson",
-                          "theta"):
-        # 3D has no BDF2 path yet; refuse rather than silently running the
-        # theta method at cfg.theta (which would masquerade as BDF2).
+                          "theta", "bdf2"):
         raise ValueError(
             f"solve_heat3d does not support scheme={cfg.scheme!r}; "
-            "use explicit/backward_euler/crank_nicolson/theta"
+            "use explicit/backward_euler/crank_nicolson/theta/bdf2"
         )
+    if cfg.adaptive_dt:
+        raise ValueError("solve_heat3d is fixed-dt (adaptive_dt is 2D-only)")
     dtype = jnp.dtype(cfg.dtype)
     grid = problem.grid
     alpha = problem.alpha
@@ -111,22 +112,8 @@ def solve_heat3d(
     n_steps = max(1, int(round(t_final / dt)))
     dt_val = t_final / n_steps
 
-    if cfg.scheme == "explicit":
-        limit = 1.0 / (2 * alpha * (1 / grid.hx**2 + 1 / grid.hy**2
-                                    + 1 / grid.hz**2))
-        if dt_val > limit * (1 + 1e-12):
-            raise ValueError(f"explicit dt={dt_val:g} exceeds limit {limit:g}")
-
-        def step(u, t, dt_):
-            lap = -st3.apply(st_sp, u)
-            rhs = (alpha * lap + source(t)).astype(dtype)
-            u_new = jnp.where(unknown, u + dt_.astype(dtype) * rhs, u)
-            return install_bc(u_new, t + dt_)
-
-    else:
-        th = cfg.effective_theta
-
-        def step(u, t, dt_):
+    def theta_step(th):
+        def step(u_prev, u, t, dt_):
             tn1 = t + dt_
             dtc = dt_.astype(dtype)
             lam = 1.0 / (alpha * th * dtc)
@@ -140,19 +127,62 @@ def solve_heat3d(
                 u_new = mg3.mg_cycle3d(levels, u_new, F, cfg.mg)
             return u_new
 
-    @partial(jax.jit, static_argnames=("n",))
-    def run(u0, dt_, n: int):
-        def body(carry, _):
-            u, t = carry
-            u = step(u, t, dt_)
-            return (u, t + dt_), None
+        return step
 
-        (u, t), _ = jax.lax.scan(body, (u0, jnp.asarray(0.0, jnp.float64)),
-                                 None, length=n)
+    if cfg.scheme == "explicit":
+        limit = 1.0 / (2 * alpha * (1 / grid.hx**2 + 1 / grid.hy**2
+                                    + 1 / grid.hz**2))
+        if dt_val > limit * (1 + 1e-12):
+            raise ValueError(f"explicit dt={dt_val:g} exceeds limit {limit:g}")
+
+        def step(u_prev, u, t, dt_):
+            lap = -st3.apply(st_sp, u)
+            rhs = (alpha * lap + source(t)).astype(dtype)
+            u_new = jnp.where(unknown, u + dt_.astype(dtype) * rhs, u)
+            return install_bc(u_new, t + dt_)
+
+    elif cfg.scheme == "bdf2":
+        # (3u^{n+1} - 4u^n + u^{n-1})/(2dt) = alpha(-A_sp u^{n+1}) + q^{n+1}
+        # (uniform dt; first step bootstrapped by Crank-Nicolson, cf.
+        # applications/heat.py)
+        def step(u_prev, u, t, dt_):
+            tn1 = t + dt_
+            dtc = dt_.astype(dtype)
+            lam = 3.0 / (2.0 * alpha * dtc)
+            levels = shift_hierarchy3d(levels0, lam)
+            F = (4.0 * u - u_prev) / (2.0 * alpha * dtc) + source(tn1) / alpha
+            F = jnp.where(unknown, F, jnp.zeros((), dtype))
+            u_new = install_bc(u, tn1)
+            for _ in range(cfg.cycles_per_step):
+                u_new = mg3.mg_cycle3d(levels, u_new, F, cfg.mg)
+            return u_new
+
+    else:
+        step = theta_step(cfg.effective_theta)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(u_prev0, u0, t0, dt_, n: int):
+        def body(carry, _):
+            u_prev, u, t = carry
+            u_new = step(u_prev, u, t, dt_)
+            return (u, u_new, t + dt_), None
+
+        (_, u, t), _ = jax.lax.scan(body, (u_prev0, u0, t0), None, length=n)
         return u, t
 
     u0 = problem.initial_state(dtype)
-    u, t = run(u0, jnp.asarray(dt_val, jnp.float64), n_steps)
+    dt_t = jnp.asarray(dt_val, jnp.float64)
+    t0 = jnp.asarray(0.0, jnp.float64)
+    u_prev0, start = u0, 0
+    if cfg.scheme == "bdf2" and n_steps >= 1:
+        u1 = jax.jit(theta_step(0.5))(u0, u0, t0, dt_t)  # CN bootstrap
+        u_prev0, u0 = u0, u1
+        t0 = t0 + dt_t
+        start = 1
+    if start < n_steps:
+        u, t = run(u_prev0, u0, t0, dt_t, n_steps - start)
+    else:
+        u, t = u0, t0
     out = {"u": u, "t": float(t), "steps": n_steps}
     if problem.exact is not None:
         out["errors"] = problem.error_norms(u, float(t))

@@ -224,9 +224,85 @@ def measure(n: int, k_lo: int, k_hi: int):
     return rows
 
 
+def measure3d(n: int, k_lo: int, k_hi: int):
+    """3D stage rows (XLA vs plane-pipeline kernels), same protocol."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid3d import (
+        Grid3D)
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import (
+        stencil3d as st3, transfer3d as t3)
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels \
+        import smooth3d as ps3, transfer3d as pt3
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid3d \
+        import smooth3d
+
+    g = Grid3D(n, n, n)
+    gc = g.coarsen()
+    pshape = g.shape_padded
+    st = st3.make_stencil3d(g, dtype=jnp.float32)
+    unknown = st3.unknown_mask3d(g)
+    nb_f = int(np.prod(pshape)) * 4
+    nb_c = int(np.prod(gc.shape_padded)) * 4
+
+    def mk_fine2():
+        rng = np.random.default_rng()
+        u = (1e-3 * rng.standard_normal(pshape)).astype(np.float32)
+        f = (1e-3 * rng.standard_normal(pshape)).astype(np.float32)
+        m = np.asarray(unknown)
+        return jnp.asarray(u * m), jnp.asarray(f * m)
+
+    damp = np.float32(1e-8)
+
+    def sm_xla(u, f):
+        return smooth3d(st, u, f, unknown, method="rbgs", sweeps=1, omega=1.0)
+
+    def sm_pallas(u, f):
+        return ps3.rbgs_planes(st, u, f, nx=g.nx, ny=g.ny, nz=g.nz, sweeps=1)
+
+    def xla_transfer_pass(u, f):
+        r = st3.residual(st, u, f, unknown)
+        fc = t3.restrict3d(r, gc.nx, gc.ny, gc.nz, gc.shape_padded,
+                           method="full_weighting", boundary="zero",
+                           dtype=jnp.float32)
+        e = t3.prolong3d(fc, gc.nx, gc.ny, gc.nz, g.nx, g.ny, g.nz, pshape,
+                         dtype=jnp.float32)
+        return jnp.where(unknown, u + damp * e, u)
+
+    def fused_transfer_pass(u, f):
+        fc = pt3.residual_restrict3d(
+            st, u, f, nxf=g.nx, nyf=g.ny, nzf=g.nz,
+            ncx=gc.nx, ncy=gc.ny, ncz=gc.nz,
+            pshape_coarse=gc.shape_padded)
+        return pt3.prolong_correct3d(
+            damp * fc, u, ncx=gc.nx, ncy=gc.ny, ncz=gc.nz,
+            nxf=g.nx, nyf=g.ny, nzf=g.nz)
+
+    rows = {}
+    t = marginal(lambda k: chain_self(sm_xla, k), mk_fine2, k_lo, k_hi)
+    rows["smooth3d_sweep"] = (t, 6 * nb_f)
+    try:
+        t = marginal(lambda k: chain_self(sm_pallas, k), mk_fine2, k_lo, k_hi)
+        rows["smooth3d_sweep_pallas"] = (t, 3 * nb_f)
+    except Exception:
+        pass
+    t = marginal(lambda k: chain_self(xla_transfer_pass, k), mk_fine2,
+                 k_lo, k_hi)
+    # residual 3 + restrict (1 + 1/8) + prolong (1/8 + 1) + correction 2
+    rows["transfer3d_pass"] = (t, int(7.25 * nb_f))
+    if pshape[1] * pshape[2] * 4 <= pt3.PLANE_BUDGET_BYTES:
+        try:
+            t = marginal(lambda k: chain_self(fused_transfer_pass, k),
+                         mk_fine2, k_lo, k_hi)
+            rows["transfer3d_pass_pallas"] = (t, 4 * nb_f + 2 * nb_c)
+        except Exception:
+            pass
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="513,1025,2049")
+    ap.add_argument("--sizes3d", default="129,257",
+                    help="3D cube sizes; empty string to skip")
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--peak", type=float, default=819.0,
                     help="HBM peak GB/s (v5e: 819)")
@@ -234,10 +310,15 @@ def main():
     args = ap.parse_args()
 
     results = {}
-    for n in [int(s) for s in args.sizes.split(",")]:
+    cases = [(int(s), measure) for s in args.sizes.split(",") if s]
+    cases += [(int(s), measure3d) for s in args.sizes3d.split(",") if s]
+    for n, measure_fn in cases:
         k_lo, k_hi = args.k, args.k * 9
-        rows = measure(n, k_lo, k_hi)
-        results[n] = {
+        if measure_fn is measure3d:
+            k_lo, k_hi = max(4, args.k // 8), max(16, args.k)
+        rows = measure_fn(n, k_lo, k_hi)
+        key = n if measure_fn is measure else f"{n}^3"
+        results[key] = {
             name: {
                 "time_us": round(t * 1e6, 2),
                 "model_MB": round(b / 1e6, 3),
@@ -247,8 +328,8 @@ def main():
             }
             for name, (t, b) in rows.items()
         }
-        for name, d in results[n].items():
-            print(f"{n:5d}  {name:18s} {d['time_us']:9.2f} us  "
+        for name, d in results[key].items():
+            print(f"{str(key):>6s}  {name:22s} {d['time_us']:9.2f} us  "
                   f"{d['achieved_GBps'] or 0:7.1f} GB/s  "
                   f"({d['pct_of_peak'] or 0:5.1f}% of peak)", flush=True)
 

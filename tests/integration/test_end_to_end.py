@@ -80,6 +80,22 @@ class TestHeatPipeline:
         out = solve_heat3d(prob, t_final=0.01, dt=0.002, cfg=cfg)
         assert out["errors"]["l2"] < 5e-3
 
+    def test_heat3d_bdf2_beats_backward_euler(self):
+        """BDF2 (order 2, CN bootstrap) vs BE (order 1) at the same dt."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat3d import (
+            pure_diffusion3d,
+            solve_heat3d,
+        )
+
+        prob = pure_diffusion3d(17)
+        errs = {}
+        for scheme in ("backward_euler", "bdf2"):
+            cfg = HeatConfig(scheme=scheme, cycles_per_step=3,
+                             dtype="float64")
+            out = solve_heat3d(prob, t_final=0.02, dt=0.004, cfg=cfg)
+            errs[scheme] = out["errors"]["l2"]
+        assert errs["bdf2"] < 0.3 * errs["backward_euler"], errs
+
 
 class TestKrylovPipeline:
     def test_mg_preconditioned_cg_full_stack(self):
