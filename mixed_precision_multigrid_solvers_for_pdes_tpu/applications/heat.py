@@ -164,13 +164,18 @@ def stability_limit_dt(grid: Grid, alpha: float, a_max: float = 1.0) -> float:
 def shift_hierarchy(levels: Tuple[Level, ...], lam) -> Tuple[Level, ...]:
     """Add a (possibly traced) scalar shift to every level's diagonal:
     (A_sp + lam). Valid because c = w+e+s+n at lam=0 by construction."""
+    import dataclasses as _dc
+
     out = []
     for lev in levels:
         st = lev.stencil
         lam_t = jnp.asarray(lam, lev.dtype)
         out.append(
             Level(
-                stencil=st_mod.Stencil(c=st.c + lam_t, w=st.w, e=st.e, s=st.s, n=st.n),
+                # works for Stencil and Stencil9; on Galerkin coarse levels
+                # c+lam approximates RAP(A+lam I) (exact on the fine level,
+                # where the residual is evaluated)
+                stencil=_dc.replace(st, c=st.c + lam_t),
                 grid=lev.grid,
                 spec=lev.spec,
                 dtype=lev.dtype,

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from . import smooth as smooth_mod
+from .stencil import Stencil9
 
 # below this, per-call kernel-launch overhead rivals the work itself and the
 # whole level is a handful of XLA fusions anyway (coarse levels)
@@ -57,6 +58,8 @@ VARCOEF_AUTO = False
 def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bool:
     if method not in ("jacobi", "rbgs", "gauss_seidel", "red_black", "sor"):
         return False  # line/ADI smoothers are XLA-only (tridiagonal_solve)
+    if isinstance(stencil, Stencil9):
+        return False  # Galerkin 9-point coarse operators: XLA path only
     if backend == "xla":
         return False
     if backend == "auto" and not _on_tpu():
@@ -200,6 +203,8 @@ def transfer_fused_ok(lev, nxt, cfg) -> bool:
         return False
     if backend == "auto" and not _on_tpu():
         return False
+    if isinstance(lev.stencil, Stencil9) or isinstance(nxt.stencil, Stencil9):
+        return False  # Galerkin 9-point levels: XLA path only
     if jnp.ndim(lev.stencil.c) != 0:
         # variable coefficients: residual_restrict streams the five
         # coefficient planes through VMEM (prolong_correct is
@@ -281,6 +286,8 @@ def tail_ok(levels, lvl, cfg, cycle_type) -> bool:
                                       jnp.dtype(jnp.bfloat16)):
         return False
     for lev in levels[lvl:]:
+        if isinstance(lev.stencil, Stencil9):
+            return False
         if jnp.ndim(lev.stencil.c) != 0:
             return False
         if lev.domain is not None:

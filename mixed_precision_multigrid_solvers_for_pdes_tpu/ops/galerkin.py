@@ -1,0 +1,123 @@
+"""Galerkin (RAP) coarse-grid operators.
+
+``A_c = R M_f A M_f P`` where R/P are the cycle's actual restriction and
+prolongation and ``M_f`` masks to the fine unknown set — i.e. exactly the
+operator the two-grid correction applies. Rediscretization (the default,
+and the reference's implicit choice — it reuses the analytic stencil at
+every level, reference solvers/multigrid.py:135-182) approximates A_c well
+for smooth coefficients, but for strong coefficient jumps the injected
+coarse coefficients misplace the interface and the coarse correction stops
+matching the fine operator; Galerkin coarsening fixes that by construction.
+
+TPU-first implementation: instead of assembling sparse matrices, the nine
+coarse stencil coefficient *fields* are recovered from nine applications of
+the composed grid-operator ``R M A M P`` to mod-3 comb fields — combs of
+unit impulses spaced 3 coarse cells apart. The composed operator has coarse
+support radius <= 1 (Chebyshev), so within any 3x3 coarse neighborhood each
+comb phase isolates exactly one matrix entry:
+
+    (A_c)_{J, J+d} = (R M A M P chi_p)[J]   with  p = (J+d) mod 3.
+
+Each application is pure fine-grid work (prolong/apply/restrict — the same
+jitted ops the cycle uses), so setup is 9 transfer passes per level, runs
+entirely on device, and needs no scatter/gather or sparse formats.
+
+The coarse operator of a 5-point stencil under full-weighting + bilinear is
+9-point (Stencil9), and 9-point is closed under further RAP, so the whole
+hierarchy below the fine level is Stencil9.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import bc as bc_mod
+from ..core.bc import BCKind
+from ..core.grid import Grid
+from . import stencil as st_mod
+from . import transfer
+from .stencil import Stencil9
+
+
+def _unknown(grid: Grid, spec, domain):
+    mask = bc_mod.unknown_mask(grid.nx, grid.ny, grid.shape_padded, spec)
+    if domain is not None:
+        mask = mask & domain.interior_mask(grid)
+    return mask
+
+
+def galerkin_coarse_stencil(
+    st_f,
+    grid_f: Grid,
+    grid_c: Grid,
+    spec,
+    *,
+    domain=None,
+    dtype=jnp.float64,
+    restriction: str = "full_weighting",
+    prolongation: str = "bilinear",
+) -> Stencil9:
+    """Coarse Stencil9 = RAP of ``st_f`` (Stencil or Stencil9).
+
+    ``restriction``/``prolongation`` must match the cycle's transfer config
+    so the coarse equation ``A_c e_c = R r`` uses one consistent R.
+    Computed at ``dtype`` (float64 default — one-time setup cost), cast by
+    the caller to the level's working dtype.
+    """
+    if spec.any_periodic:
+        # the mod-3 comb phases alias across a periodic seam whenever the
+        # unique extent is not divisible by 3 (always, for 2^k+1 grids)
+        raise NotImplementedError(
+            "Galerkin coarsening does not support periodic BCs; "
+            "use coarsening='rediscretize'"
+        )
+
+    unk_f = _unknown(grid_f, spec, domain)
+    unk_c = _unknown(grid_c, spec, domain)
+    plain = all(
+        spec.side(s).kind == BCKind.DIRICHLET for s in bc_mod.SIDES
+    )
+    boundary = "zero" if plain else "reflect"  # mirrors solvers/multigrid.py
+
+    pc = grid_c.shape_padded
+    Ic = jax.lax.broadcasted_iota(jnp.int32, pc, 0)
+    Jc = jax.lax.broadcasted_iota(jnp.int32, pc, 1)
+    zero = jnp.zeros((), dtype)
+    st_hi = st_f.astype(dtype)
+
+    @jax.jit
+    def rap_phase(chi):
+        ef = transfer.prolong(
+            chi, grid_c.nx, grid_c.ny, grid_f.nx, grid_f.ny,
+            grid_f.shape_padded, method=prolongation, dtype=dtype,
+        )
+        ef = jnp.where(unk_f, ef, zero)
+        ae = jnp.where(unk_f, st_mod.apply(st_hi, ef), zero)
+        y = transfer.restrict(
+            ae, grid_c.nx, grid_c.ny, pc,
+            method=restriction, boundary=boundary, dtype=dtype,
+        )
+        return jnp.where(unk_c, y, zero)
+
+    ys = []
+    for px in range(3):
+        for py in range(3):
+            chi = ((Ic % 3 == px) & (Jc % 3 == py) & unk_c).astype(dtype)
+            ys.append(rap_phase(chi))
+    Y = jnp.stack(ys)  # (9, pcx, pcy): Y[3*px+py] = R M A M P chi_{(px,py)}
+
+    def coef(dx: int, dy: int):
+        # (A_c)_{J, J+d}: pick the phase that isolates offset d at each J
+        idx = ((Ic + dx) % 3) * 3 + (Jc + dy) % 3
+        return jnp.take_along_axis(Y, idx[None], axis=0)[0]
+
+    def off(dx: int, dy: int):
+        return jnp.where(unk_c, -coef(dx, dy), zero)
+
+    c = jnp.where(unk_c, coef(0, 0), jnp.ones((), dtype))
+    return Stencil9(
+        c=c,
+        w=off(-1, 0), e=off(1, 0), s=off(0, -1), n=off(0, 1),
+        sw=off(-1, -1), se=off(1, -1), nw=off(-1, 1), ne=off(1, 1),
+    )

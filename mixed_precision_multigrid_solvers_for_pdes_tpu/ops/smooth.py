@@ -112,18 +112,19 @@ def _line_update(st: Stencil, u, f, unknown, axis: int, color_mask,
     c = st.c * ones
     zero = jnp.zeros((), dtype)
     if axis == 1:
-        # solve along y: keep s/n in the tridiagonal, lag w/e
-        rhs = f + st.w * shift_w(u) + st.e * shift_e(u)
+        # solve along y: keep s/n in the tridiagonal, lag everything else
+        # (w/e, plus corners for 9-point Galerkin stencils)
+        lo_val, hi_val = shift_s(u), shift_n(u)
+        rhs = f + st_mod.neighbor_sum(st, u) - st.s * lo_val - st.n * hi_val
         lo_unknown = jnp.roll(unknown, 1, 1)   # is (i, j-1) an unknown?
         hi_unknown = jnp.roll(unknown, -1, 1)
-        lo_val, hi_val = shift_s(u), shift_n(u)
         lo_c, hi_c = st.s * ones, st.n * ones
     else:
-        # solve along x: keep w/e, lag s/n
-        rhs = f + st.s * shift_s(u) + st.n * shift_n(u)
+        # solve along x: keep w/e, lag everything else
+        lo_val, hi_val = shift_w(u), shift_e(u)
+        rhs = f + st_mod.neighbor_sum(st, u) - st.w * lo_val - st.e * hi_val
         lo_unknown = jnp.roll(unknown, 1, 0)
         hi_unknown = jnp.roll(unknown, -1, 0)
-        lo_val, hi_val = shift_w(u), shift_e(u)
         lo_c, hi_c = st.w * ones, st.e * ones
 
     if cyclic_n:

@@ -57,6 +57,42 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class Stencil9:
+    """9-point stencil (adds corner couplings; same sign convention:
+    ``A u = c*u - sum(coef_d * u_{+d})``).
+
+    Produced by Galerkin (RAP) coarsening (ops/galerkin.py) — the coarse
+    operator of a 5-point stencil under full-weighting restriction and
+    bilinear prolongation is 9-point, and 9-point is closed under further
+    RAP. The reference has no Galerkin path (it rediscretizes implicitly by
+    reusing the analytic stencil at every level, reference
+    solvers/multigrid.py:135-182); this is an algorithmic extension for
+    jump-coefficient robustness.
+    """
+
+    c: Any   # center (diagonal)
+    w: Any   # coupling to u[i-1, j]
+    e: Any   # coupling to u[i+1, j]
+    s: Any   # coupling to u[i, j-1]
+    n: Any   # coupling to u[i, j+1]
+    sw: Any  # coupling to u[i-1, j-1]
+    se: Any  # coupling to u[i+1, j-1]
+    nw: Any  # coupling to u[i-1, j+1]
+    ne: Any  # coupling to u[i+1, j+1]
+
+    def astype(self, dtype) -> "Stencil9":
+        return Stencil9(*(jnp.asarray(getattr(self, k), dtype)
+                          for k in _S9_FIELDS))
+
+
+_S9_FIELDS = ("c", "w", "e", "s", "n", "sw", "se", "nw", "ne")
+
+jax.tree_util.register_dataclass(
+    Stencil9, data_fields=_S9_FIELDS, meta_fields=()
+)
+
+
 def shift_w(u):  # value of u at (i-1, j)
     return jnp.roll(u, 1, axis=0)
 
@@ -73,14 +109,39 @@ def shift_n(u):  # value of u at (i, j+1)
     return jnp.roll(u, -1, axis=1)
 
 
-def neighbor_sum(st: Stencil, u):
-    """w*u_W + e*u_E + s*u_S + n*u_N (the off-diagonal part, negated)."""
-    return (
+def shift_sw(u):  # value of u at (i-1, j-1)
+    return jnp.roll(u, (1, 1), axis=(0, 1))
+
+
+def shift_se(u):  # value of u at (i+1, j-1)
+    return jnp.roll(u, (-1, 1), axis=(0, 1))
+
+
+def shift_nw(u):  # value of u at (i-1, j+1)
+    return jnp.roll(u, (1, -1), axis=(0, 1))
+
+
+def shift_ne(u):  # value of u at (i+1, j+1)
+    return jnp.roll(u, (-1, -1), axis=(0, 1))
+
+
+def neighbor_sum(st, u):
+    """Sum of coef_d * u_{+d} over the off-diagonal couplings (negated part
+    of A). Accepts Stencil (5-point) or Stencil9."""
+    out = (
         st.w * shift_w(u)
         + st.e * shift_e(u)
         + st.s * shift_s(u)
         + st.n * shift_n(u)
     )
+    if isinstance(st, Stencil9):
+        out = out + (
+            st.sw * shift_sw(u)
+            + st.se * shift_se(u)
+            + st.nw * shift_nw(u)
+            + st.ne * shift_ne(u)
+        )
+    return out
 
 
 def apply(st: Stencil, u):

@@ -87,6 +87,15 @@ def make_plan(levels: Tuple[Level, ...], mesh: Mesh,
     8 * 2^(S-1) so every sharded level's block is sublane-aligned and
     exactly half its parent's.
     """
+    from ..ops.stencil import Stencil9
+
+    if any(isinstance(lev.stencil, Stencil9) for lev in levels):
+        # 9-point Galerkin levels need corner halos (diagonal couplings);
+        # the GSPMD path handles them automatically — use that instead
+        raise NotImplementedError(
+            "halo_solve supports 5-point stencils only; Galerkin (9-point) "
+            "hierarchies run under the GSPMD distribution path"
+        )
     mx = mesh.shape["x"]
     my = mesh.shape["y"]
     S = 0

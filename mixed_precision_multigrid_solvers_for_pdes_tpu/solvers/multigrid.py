@@ -91,6 +91,12 @@ class MultigridConfig:
     tol: float = 1e-10
     rtol: bool = True             # tolerance relative to ||f||
     backend: str = "auto"         # auto | xla | pallas
+    # Coarse-operator construction: 'rediscretize' rebuilds the analytic
+    # stencil on each coarse grid (the reference's implicit choice,
+    # reference solvers/multigrid.py:135-182); 'galerkin' forms A_c = R A P
+    # (ops/galerkin.py) — robust for strong coefficient jumps, coarse
+    # levels become 9-point (XLA path).
+    coarsening: str = "rediscretize"
     # W/F branching applies only on the finest `w_depth` levels; below that the
     # recursion degrades to V. Full W costs 2^L smooth stages *in the unrolled
     # XLA graph* — capping bounds compile time while keeping the robustness
@@ -145,10 +151,29 @@ def build_hierarchy(
     else:
         dtypes = (as_dtype(dtype if dtype is not None else jnp.float32),) * len(grids)
 
+    if cfg.coarsening not in ("rediscretize", "galerkin"):
+        raise ValueError(f"unknown coarsening {cfg.coarsening!r}")
+
     levels = []
     a_l, lam_l = a, lam
-    for g, dt in zip(grids, dtypes):
-        st = st_mod.make_stencil(g, spec, a=a_l, lam=lam_l, dtype=dt)
+    st_hi = None  # float64 operator chain for Galerkin RAP
+    for i, (g, dt) in enumerate(zip(grids, dtypes)):
+        if i == 0 or cfg.coarsening == "rediscretize":
+            st = st_mod.make_stencil(g, spec, a=a_l, lam=lam_l, dtype=dt)
+            if i == 0 and cfg.coarsening == "galerkin":
+                st_hi = st_mod.make_stencil(g, spec, a=a_l, lam=lam_l,
+                                            dtype=jnp.float64)
+        else:
+            # Galerkin: A_c = R A P of the previous level's float64 operator
+            # (ops/galerkin.py) — the chain stays in float64 so roundoff
+            # does not compound down the hierarchy
+            from ..ops import galerkin as galerkin_mod
+
+            st_hi = galerkin_mod.galerkin_coarse_stencil(
+                st_hi, grids[i - 1], g, spec, domain=domain,
+                restriction=cfg.restriction, prolongation=cfg.prolongation,
+            )
+            st = st_hi.astype(dt)
         levels.append(Level(stencil=st, grid=g, spec=spec, dtype=np.dtype(dt),
                             domain=domain))
         if g.can_coarsen():

@@ -1,0 +1,178 @@
+"""Galerkin (RAP) coarse operators: correctness and jump-coefficient wins.
+
+The reference rediscretizes on every level (reference
+solvers/multigrid.py:135-182) and only *simulated* its jump-coefficient
+robustness numbers (reference benchmarks/validation_suite.py:256-300,
+claimed rho 0.142 at a 1e3:1 jump). Here Galerkin coarsening is real and
+measured: rho ~ 0.05 (W) / 0.075 (V) at 1e3:1, stable to 1e6:1.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+from mixed_precision_multigrid_solvers_for_pdes_tpu.core import bc as bc_api
+from mixed_precision_multigrid_solvers_for_pdes_tpu.models import problems as P
+from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import (
+    galerkin as gk,
+    stencil as st_mod,
+    transfer,
+)
+from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.stencil import Stencil9
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+    MultigridConfig,
+)
+
+
+def _cfg(**kw):
+    base = dict(smoother="rbgs", omega=1.0, tol=1e-10, backend="xla",
+                coarsening="galerkin")
+    base.update(kw)
+    return MultigridConfig(**base)
+
+
+def _solve(prob, cfg, dtype="float64"):
+    levels = mg.build_hierarchy(
+        prob.grid, prob.spec, a=prob.a, lam=prob.lam, domain=prob.domain,
+        dtype=dtype, cfg=cfg,
+    )
+    return levels, *mg.mg_solve(
+        levels, prob.rhs(jnp.float64), prob.initial_guess(jnp.float64), cfg
+    )
+
+
+class TestOperatorCorrectness:
+    def test_matches_explicit_rap_composition(self):
+        """A_c e == R M A M P e for random coarse vectors — the comb
+        extraction reproduces the composed operator entry-for-entry."""
+        prob = P.variable_coefficient_mms(33)
+        grid_f = prob.grid
+        grid_c = grid_f.coarsen()
+        a = prob.a
+        st_f = st_mod.make_stencil(grid_f, prob.spec, a=a,
+                                   dtype=jnp.float64)
+        st_c = gk.galerkin_coarse_stencil(st_f, grid_f, grid_c, prob.spec)
+        assert isinstance(st_c, Stencil9)
+
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core import bc as bc_mod
+
+        unk_f = bc_mod.unknown_mask(grid_f.nx, grid_f.ny,
+                                    grid_f.shape_padded, prob.spec)
+        unk_c = bc_mod.unknown_mask(grid_c.nx, grid_c.ny,
+                                    grid_c.shape_padded, prob.spec)
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            ec = jnp.asarray(rng.standard_normal(grid_c.shape_padded))
+            ec = jnp.where(unk_c, ec, 0.0)
+            # direct: apply the 9-point stencil
+            direct = jnp.where(unk_c, st_mod.apply(st_c, ec), 0.0)
+            # composed: R M A M P
+            ef = transfer.prolong(ec, grid_c.nx, grid_c.ny, grid_f.nx,
+                                  grid_f.ny, grid_f.shape_padded,
+                                  method="bilinear", dtype=jnp.float64)
+            ef = jnp.where(unk_f, ef, 0.0)
+            ae = jnp.where(unk_f, st_mod.apply(st_f, ef), 0.0)
+            comp = transfer.restrict(ae, grid_c.nx, grid_c.ny,
+                                     grid_c.shape_padded,
+                                     method="full_weighting",
+                                     boundary="zero", dtype=jnp.float64)
+            comp = jnp.where(unk_c, comp, 0.0)
+            np.testing.assert_allclose(np.asarray(direct), np.asarray(comp),
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_rap_symmetry(self):
+        """FW + bilinear give R = P^T/4, so RAP of a symmetric operator is
+        symmetric: coef_d[J] == coef_{-d}[J+d]."""
+        prob = P.variable_coefficient_mms(33)
+        grid_f = prob.grid
+        grid_c = grid_f.coarsen()
+        st_f = st_mod.make_stencil(grid_f, prob.spec, a=prob.a,
+                                   dtype=jnp.float64)
+        st9 = gk.galerkin_coarse_stencil(st_f, grid_f, grid_c, prob.spec)
+
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core import bc as bc_mod
+
+        unk = np.asarray(bc_mod.unknown_mask(
+            grid_c.nx, grid_c.ny, grid_c.shape_padded, prob.spec))
+        pairs = [  # (coef at J toward +d, coef at J+d toward -d, dx, dy)
+            (st9.e, st9.w, 1, 0),
+            (st9.n, st9.s, 0, 1),
+            (st9.ne, st9.sw, 1, 1),
+            (st9.se, st9.nw, 1, -1),
+        ]
+        for fwd, bwd, dx, dy in pairs:
+            fwd = np.asarray(fwd)
+            bwd = np.roll(np.asarray(bwd), (-dx, -dy), (0, 1))
+            both = unk & np.roll(unk, (-dx, -dy), (0, 1))
+            np.testing.assert_allclose(fwd[both], bwd[both],
+                                       rtol=1e-12, atol=1e-13)
+
+    def test_periodic_rejected(self):
+        spec = bc_api.mixed(west="periodic", east="periodic")
+        prob = P.poisson_mms_sinsin(33)
+        with pytest.raises(NotImplementedError):
+            mg.build_hierarchy(prob.grid, spec, dtype="float64",
+                               cfg=_cfg())
+
+
+class TestConvergence:
+    def test_constant_coefficient_poisson(self):
+        """Galerkin matches (here: beats) rediscretization on Poisson and
+        keeps O(h^2) accuracy."""
+        prob = P.poisson_mms_sinsin(129)
+        _, u, info = _solve(prob, _cfg())
+        assert info["converged"]
+        assert info["convergence_factor"] < 0.08
+        assert prob.error_norms(u)["l2"] < 5e-5
+
+    def test_jump_coefficient_beats_rediscretization(self):
+        """1e3:1 jump: rho(galerkin V) < rho(rediscretize W) — the
+        headline robustness win (reference claimed 0.142, simulated)."""
+        prob = P.jump_coefficient_problem(129)
+        _, _, info_g = _solve(prob, _cfg())
+        _, _, info_r = _solve(prob, _cfg(coarsening="rediscretize",
+                                         cycle="W"))
+        assert info_g["converged"]
+        assert info_g["convergence_factor"] < 0.11
+        assert info_g["convergence_factor"] < info_r["convergence_factor"]
+
+    def test_extreme_jump_1e6(self):
+        prob = P.jump_coefficient_problem(129, ratio=1e6)
+        _, _, info = _solve(prob, _cfg(cycle="W"))
+        assert info["converged"]
+        assert info["convergence_factor"] < 0.11
+
+    def test_neumann_bc(self):
+        """Galerkin through the reflect-boundary restriction path."""
+        prob = P.neumann_test_problem(65)
+        _, u, info = _solve(prob, _cfg())
+        assert info["converged"]
+        assert prob.error_norms(u)["l2"] < 1e-3
+
+    def test_line_smoother_on_stencil9(self):
+        """ADI zebra lines lag the 9-point corner couplings (smooth.py
+        _line_update generalization)."""
+        prob = P.jump_coefficient_problem(65)
+        _, _, info = _solve(prob, _cfg(smoother="adi"))
+        assert info["converged"]
+        assert info["convergence_factor"] < 0.11
+
+    def test_lshaped_domain(self):
+        """Irregular (masked) domain composes with Galerkin coarsening."""
+        prob = P.l_shaped_problem(65)
+        _, u, info = _solve(prob, _cfg())
+        assert info["converged"]
+
+    def test_ir_solve_galerkin_fp32(self):
+        """Mixed precision: fp32 Galerkin hierarchy under iterative
+        refinement reaches fp64 accuracy."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import ir_solve
+
+        prob = P.jump_coefficient_problem(65)
+        cfg = _cfg(tol=1e-9)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                    dtype="float32", cfg=cfg)
+        u, info = ir_solve(levels, prob.rhs(jnp.float64),
+                           prob.initial_guess(jnp.float64), cfg)
+        assert info["converged"]
