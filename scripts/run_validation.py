@@ -70,6 +70,18 @@ def main():
                                         cfg=ccfg)
             rhos[f"{key}_{n}"] = measure_two_grid_factor(levels, ccfg)["rho"]
 
+    # 2b) Galerkin (RAP) coarse operators on the jump problem — the
+    #     robustness row the reference only simulated (claimed 0.142,
+    #     reference benchmarks/validation_suite.py:256-300); both the
+    #     rediscretize row above and this one are measured
+    gcfg = cfg.replace(coarsening="galerkin")
+    for n in rho_sizes:
+        prob = P.CATALOGUE["jump_coefficient"](n)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                    lam=prob.lam, dtype="float64", cfg=gcfg)
+        rhos[f"jump_coefficient_galerkin_{n}"] = measure_two_grid_factor(
+            levels, gcfg)["rho"]
+
     # 3) h-independence
     hind = validate_h_independence(
         P.poisson_mms_sinsin, sizes=(33, 65) if args.quick else (33, 65, 129),
