@@ -60,13 +60,15 @@ class HeatProblem3D:
 
 
 def shift_hierarchy3d(levels, lam):
+    import dataclasses as _dc
+
     out = []
     for lev in levels:
         st = lev.stencil
         lam_t = jnp.asarray(lam, lev.dtype)
+        # works for Stencil3D and Stencil27 (Galerkin coarse levels)
         out.append(mg3.Level3D(
-            stencil=st3.Stencil3D(c=st.c + lam_t, w=st.w, e=st.e, s=st.s,
-                                  n=st.n, b=st.b, t=st.t),
+            stencil=_dc.replace(st, c=st.c + lam_t),
             grid=lev.grid, dtype=lev.dtype, spec=lev.spec,
         ))
     return tuple(out)

@@ -141,11 +141,28 @@ def varcoef3d_mms(n: int) -> Problem3D:
     )
 
 
+def jump_coefficient3d(n: int, ratio: float = 1e3) -> Problem3D:
+    """Piecewise-constant coefficient with a ratio:1 jump at x = 0.5
+    (3D analogue of models/problems.jump_coefficient_problem). No exact
+    solution; f = 1, used for convergence-factor tests."""
+    grid = Grid3D(n, n, n)
+
+    def a(X, Y, Z):
+        return np.where(X < 0.5, 1.0, ratio)
+
+    return from_callables3(
+        f"jumpcoef3d_{ratio:g}", grid,
+        f=lambda X, Y, Z: 1.0 + 0.0 * X,
+        a=a,
+    )
+
+
 CATALOGUE3D = {
     "trigonometric": poisson3d_mms_sinsinsin,
     "polynomial": poisson3d_mms_polynomial,
     "helmholtz": helmholtz3d_mms,
     "variable_coefficient": varcoef3d_mms,
+    "jump_coefficient": jump_coefficient3d,
 }
 
 

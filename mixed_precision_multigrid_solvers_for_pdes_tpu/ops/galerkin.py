@@ -121,3 +121,79 @@ def galerkin_coarse_stencil(
         w=off(-1, 0), e=off(1, 0), s=off(0, -1), n=off(0, 1),
         sw=off(-1, -1), se=off(1, -1), nw=off(-1, 1), ne=off(1, 1),
     )
+
+
+def galerkin_coarse_stencil3d(
+    st_f,
+    grid_f,
+    grid_c,
+    spec,
+    *,
+    dtype=jnp.float64,
+):
+    """3D RAP: coarse Stencil27 of ``st_f`` (Stencil3D or Stencil27) under
+    full-weighting restriction + trilinear prolongation.
+
+    Same mod-3 comb construction as the 2D version, with 27 phases: the
+    composed ``R M A M P`` operator has coarse support radius <= 1
+    (Chebyshev) for both 7-point and 27-point fine operators, so each phase
+    isolates one matrix entry per 3x3x3 coarse neighborhood.
+    """
+    from ..core.bc import BCKind
+    from . import stencil3d as st3, transfer3d
+    from .stencil3d import OFFSETS27, Stencil27
+
+    if spec.any_periodic:
+        raise NotImplementedError(
+            "Galerkin coarsening does not support periodic BCs; "
+            "use coarsening='rediscretize'"
+        )
+    from ..core import bc3d
+
+    unk_f = st3.unknown_mask3d(grid_f, spec)
+    unk_c = st3.unknown_mask3d(grid_c, spec)
+    plain = all(
+        spec.side(s).kind == BCKind.DIRICHLET for s in bc3d.SIDES3D
+    )
+    boundary = "zero" if plain else "reflect"  # mirrors solvers/multigrid3d
+
+    pc = grid_c.shape_padded
+    Ic = jax.lax.broadcasted_iota(jnp.int32, pc, 0)
+    Jc = jax.lax.broadcasted_iota(jnp.int32, pc, 1)
+    Kc = jax.lax.broadcasted_iota(jnp.int32, pc, 2)
+    zero = jnp.zeros((), dtype)
+    st_hi = st_f.astype(dtype)
+
+    @jax.jit
+    def rap_phase(chi):
+        ef = transfer3d.prolong3d(
+            chi, grid_c.nx, grid_c.ny, grid_c.nz,
+            grid_f.nx, grid_f.ny, grid_f.nz, grid_f.shape_padded,
+            dtype=dtype,
+        )
+        ef = jnp.where(unk_f, ef, zero)
+        ae = jnp.where(unk_f, st3.apply(st_hi, ef), zero)
+        y = transfer3d.restrict3d(
+            ae, grid_c.nx, grid_c.ny, grid_c.nz, pc,
+            method="full_weighting", boundary=boundary, dtype=dtype,
+        )
+        return jnp.where(unk_c, y, zero)
+
+    ys = []
+    for px in range(3):
+        for py in range(3):
+            for pz in range(3):
+                chi = ((Ic % 3 == px) & (Jc % 3 == py) & (Kc % 3 == pz)
+                       & unk_c).astype(dtype)
+                ys.append(rap_phase(chi))
+    Y = jnp.stack(ys)  # (27, pcx, pcy, pcz)
+
+    def coef(dx: int, dy: int, dz: int):
+        idx = (((Ic + dx) % 3) * 9 + ((Jc + dy) % 3) * 3 + (Kc + dz) % 3)
+        return jnp.take_along_axis(Y, idx[None], axis=0)[0]
+
+    c = jnp.where(unk_c, coef(0, 0, 0), jnp.ones((), dtype))
+    off = jnp.stack([
+        jnp.where(unk_c, -coef(*d), zero) for d in OFFSETS27
+    ])
+    return Stencil27(c=c, off=off)

@@ -44,6 +44,49 @@ jax.tree_util.register_dataclass(
 )
 
 
+# the 26 off-center offsets of a 3x3x3 box, in a fixed canonical order
+OFFSETS27 = tuple(
+    (dx, dy, dz)
+    for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    if (dx, dy, dz) != (0, 0, 0)
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Stencil27:
+    """27-point stencil: diagonal field + stacked off-diagonal couplings.
+
+    ``A u = c*u - sum_i off[i] * u_{+OFFSETS27[i]}`` (same sign convention
+    as Stencil3D). Produced by Galerkin (RAP) coarsening of the 7-point
+    operator under full-weighting + trilinear transfers (ops/galerkin.py);
+    27-point is closed under further RAP. The stacked ``off`` array has
+    shape ``(26,) + pshape``.
+    """
+
+    c: Any
+    off: Any
+
+    def astype(self, dtype) -> "Stencil27":
+        return Stencil27(jnp.asarray(self.c, dtype),
+                         jnp.asarray(self.off, dtype))
+
+
+jax.tree_util.register_dataclass(
+    Stencil27, data_fields=("c", "off"), meta_fields=()
+)
+
+
+def coupling(st, d):
+    """The coupling-coefficient field toward offset ``d = (dx, dy, dz)``."""
+    if isinstance(st, Stencil27):
+        return st.off[OFFSETS27.index(d)]
+    return {
+        (-1, 0, 0): st.w, (1, 0, 0): st.e,
+        (0, -1, 0): st.s, (0, 1, 0): st.n,
+        (0, 0, -1): st.b, (0, 0, 1): st.t,
+    }[d]
+
+
 def unknown_mask3d(grid: Grid3D, spec: Optional[BoundarySpec3D] = None):
     """Spec-aware unknowns (default: all-Dirichlet box), iota-built."""
     return bc3.unknown_mask3d(grid, spec or BoundarySpec3D())
@@ -57,7 +100,12 @@ def logical_mask3d(grid: Grid3D):
     return (i < grid.nx) & (j < grid.ny) & (k < grid.nz)
 
 
-def neighbor_sum(st: Stencil3D, u):
+def neighbor_sum(st, u):
+    if isinstance(st, Stencil27):
+        out = jnp.zeros_like(u)
+        for i, (dx, dy, dz) in enumerate(OFFSETS27):
+            out = out + st.off[i] * jnp.roll(u, (-dx, -dy, -dz), (0, 1, 2))
+        return out
     return (
         st.w * jnp.roll(u, 1, 0)
         + st.e * jnp.roll(u, -1, 0)
@@ -68,7 +116,7 @@ def neighbor_sum(st: Stencil3D, u):
     )
 
 
-def apply(st: Stencil3D, u):
+def apply(st, u):
     return st.c * u - neighbor_sum(st, u)
 
 

@@ -69,10 +69,25 @@ def build_hierarchy3d(
     while grids[-1].can_coarsen() and len(grids) < cfg.max_levels:
         grids.append(grids[-1].coarsen())
     dt = as_dtype(dtype if dtype is not None else jnp.float32)
+    if cfg.coarsening not in ("rediscretize", "galerkin"):
+        raise ValueError(f"unknown coarsening {cfg.coarsening!r}")
     levels = []
     a_l, lam_l = a, lam
-    for g in grids:
-        st = st3.make_stencil3d(g, spec, a=a_l, lam=lam_l, dtype=dt)
+    st_hi = None  # float64 operator chain for Galerkin RAP
+    for i, g in enumerate(grids):
+        if i == 0 or cfg.coarsening == "rediscretize":
+            st = st3.make_stencil3d(g, spec, a=a_l, lam=lam_l, dtype=dt)
+            if i == 0 and cfg.coarsening == "galerkin":
+                st_hi = st3.make_stencil3d(g, spec, a=a_l, lam=lam_l,
+                                           dtype=jnp.float64)
+        else:
+            # Galerkin: A_c = R A P of the previous level's float64
+            # operator (ops/galerkin.py); coarse levels become 27-point
+            from ..ops import galerkin as galerkin_mod
+
+            st_hi = galerkin_mod.galerkin_coarse_stencil3d(
+                st_hi, grids[i - 1], g, spec)
+            st = st_hi.astype(dt)
         levels.append(Level3D(stencil=st, grid=g, dtype=np.dtype(dt),
                               spec=spec))
         if g.can_coarsen():
@@ -134,15 +149,20 @@ def smooth3d(st: Stencil3D, u, f, unknown, *, method: str = "rbgs",
         ones = jnp.ones(u.shape, dtype)
         zero = jnp.zeros((), dtype)
 
+        st_b = st3.coupling(st, (0, 0, -1))
+        st_t = st3.coupling(st, (0, 0, 1))
+
         def line_update(u, mask):
             if sync is not None:
                 u = sync(u)
-            rhs = (f + st.w * jnp.roll(u, 1, 0) + st.e * jnp.roll(u, -1, 0)
-                   + st.s * jnp.roll(u, 1, 1) + st.n * jnp.roll(u, -1, 1))
+            # keep b/t in the tridiagonal, lag everything else (x/y faces,
+            # plus edges/corners for 27-point Galerkin stencils)
+            rhs = (f + st3.neighbor_sum(st, u)
+                   - st_b * jnp.roll(u, 1, 2) - st_t * jnp.roll(u, -1, 2))
             lo_unknown = jnp.roll(unknown, 1, 2)
             hi_unknown = jnp.roll(unknown, -1, 2)
-            lo_c = st.b * ones
-            hi_c = st.t * ones
+            lo_c = st_b * ones
+            hi_c = st_t * ones
             rhs = rhs + jnp.where(lo_unknown, zero,
                                   lo_c * jnp.roll(u, 1, 2))
             rhs = rhs + jnp.where(hi_unknown, zero,
