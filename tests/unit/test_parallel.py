@@ -56,6 +56,22 @@ class TestShardedSolve:
         np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
                                    rtol=0, atol=1e-11)
 
+    def test_galerkin_sharded_matches_single_device(self, mesh):
+        """Galerkin (9-point) hierarchies under GSPMD: the diagonal
+        couplings' rolls cross shard boundaries in both axes at once; XLA
+        must insert the corner halo exchanges. Bit-match vs single device."""
+        cfg = CFG.replace(coarsening="galerkin")
+        prob = P.jump_coefficient_problem(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                    dtype="float64", cfg=cfg)
+        f = prob.rhs(jnp.float64)
+        u_ref, info_ref = mg.mg_solve(levels, f, None, cfg)
+        u_sh, info_sh = parallel.sharded_solve(mesh, levels, f, cfg=cfg)
+        assert info_sh["converged"]
+        assert info_sh["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
+
     def test_neumann_sharded(self, mesh):
         prob = P.neumann_test_problem(65)
         levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
