@@ -116,6 +116,44 @@ def poisson3d_bench(n: int, runs: int = 3) -> dict:
     }
 
 
+def galerkin_bench(n: int, runs: int = 3) -> list:
+    """Jump-coefficient (1e3:1) robustness: rediscretize+W vs Galerkin RAP
+    (ops/galerkin.py). The reference's number for this class (rho 0.142) was
+    simulated (reference benchmarks/validation_suite.py:256-300); both rows
+    here are measured fp64 solves to 1e-8 relative."""
+    import mixed_precision_multigrid_solvers_for_pdes_tpu as mg
+
+    prob = P.jump_coefficient_problem(n)
+    f = prob.rhs(jnp.float64)
+    rows = []
+    for co, cyc in (("rediscretize", "W"), ("galerkin", "V"),
+                    ("galerkin", "W")):
+        cfg = MultigridConfig(smoother="rbgs", omega=1.0, tol=1e-8,
+                              coarsening=co, cycle=cyc)
+        t0 = time.perf_counter()
+        levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                    dtype="float64", cfg=cfg)
+        jax.block_until_ready([lev.stencil for lev in levels])
+        setup_s = time.perf_counter() - t0
+        u, info = mg.mg_solve(levels, f, None, cfg)  # compile + check
+        wall = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            u, info = mg.mg_solve(levels, f, None, cfg)
+            wall = min(wall, time.perf_counter() - t0)
+        rows.append({
+            "n": n,
+            "coarsening": co,
+            "cycle": cyc,
+            "setup_s": setup_s,
+            "wall_s": wall,
+            "iterations": info["iterations"],
+            "converged": info["converged"],
+            "rho_cycle": info["convergence_factor"],
+        })
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -146,6 +184,8 @@ def main():
         # BASELINE config 5 ladder: 257^3 standard + 513^3 stretch
         report["poisson3d"] = [poisson3d_bench(257), poisson3d_bench(513)]
 
+    report["galerkin_jump"] = galerkin_bench(257 if args.quick else 1025)
+
     if args.baselines:
         from mixed_precision_multigrid_solvers_for_pdes_tpu.validation import (
             PerformanceBaselines,
@@ -171,6 +211,14 @@ def main():
         md.append(f"| {r['n']} | {r['precision']} | {r['wall_s']:.3f} | "
                   f"{r['dof_per_s'] / 1e6:.1f} | {r['iterations']} | "
                   f"{r['error_l2']:.2e} |")
+    md += ["", "## Jump coefficient 1e3:1 — coarsening robustness "
+           "(reference simulated rho 0.142; these are measured)", "",
+           "| n | coarsening | cycle | setup (s) | solve (s) | iters | "
+           "rho/cycle |", "|---|---|---|---|---|---|---|"]
+    for r in report["galerkin_jump"]:
+        md.append(f"| {r['n']} | {r['coarsening']} | {r['cycle']} | "
+                  f"{r['setup_s']:.3f} | {r['wall_s']:.3f} | "
+                  f"{r['iterations']} | {r['rho_cycle']:.4f} |")
     (out / "benchmark_report.md").write_text("\n".join(md))
 
     print(json.dumps({
