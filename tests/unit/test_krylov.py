@@ -68,6 +68,23 @@ class TestCG:
         assert info["iterations"] <= 12, info["iterations"]
         _check_solution(prob, u)
 
+    def test_mg_preconditioned_cg_galerkin_jump(self):
+        """SPD end-to-end on the hard case: symmetric V-cycles over a
+        Galerkin hierarchy (RAP preserves symmetry of the coarse operators,
+        so the preconditioner is provably SPD even with variable
+        coefficients) on the 1e3:1 jump problem."""
+        cfg = CFG.replace(coarsening="galerkin", symmetric=True)
+        prob = P.jump_coefficient_problem(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                    dtype="float64", cfg=cfg)
+        lev0 = levels[0]
+        mv = krylov.stencil_matvec(lev0.stencil, lev0.unknown)
+        f = jnp.where(lev0.unknown, prob.rhs(jnp.float64), 0.0)
+        M = pc.multigrid_preconditioner(levels, cfg)
+        u, info = krylov.pcg(mv, f, precond=M, tol=1e-10)
+        assert info["converged"]
+        assert info["iterations"] <= 10, info["iterations"]
+
     def test_line_preconditioner(self, setup):
         prob, levels, lev0, mv, f = setup
         M = pc.block_line(lev0.stencil, lev0.unknown, axis=0)
