@@ -164,6 +164,22 @@ class TestConvergence:
         _, u, info = _solve(prob, _cfg())
         assert info["converged"]
 
+    def test_fmg_galerkin(self):
+        """FMG initialization composes with Galerkin hierarchies."""
+        prob = P.jump_coefficient_problem(65)
+        cfg = _cfg()
+        levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                    dtype="float64", cfg=cfg)
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import fmg
+        import jax
+
+        f = prob.rhs(jnp.float64)
+        u_fmg = jax.jit(lambda f: fmg(levels, f, cfg))(f)
+        # FMG alone should land within a cycle or two of convergence
+        u, info = mg.mg_solve(levels, f, u_fmg, cfg)
+        assert info["converged"]
+        assert info["iterations"] <= 7
+
     def test_ir_solve_galerkin_fp32(self):
         """Mixed precision: fp32 Galerkin hierarchy under iterative
         refinement reaches fp64 accuracy."""
