@@ -23,7 +23,18 @@ from typing import Any, Dict
 import numpy as np
 
 from ..core.grid import Grid
-from ..ops.stencil import Stencil
+from ..ops.stencil import Stencil, Stencil9
+
+
+def _require_5pt(stencil):
+    if isinstance(stencil, Stencil9):
+        # silently dropping the corner couplings would factorize the wrong
+        # matrix; ILU setup is host-side and 5-point only
+        raise NotImplementedError(
+            "ILU preconditioners support 5-point stencils only "
+            "(Galerkin 9-point levels: use diagonal/line/Chebyshev/MG "
+            "preconditioners)"
+        )
 
 
 def _expand(x, shape) -> np.ndarray:
@@ -38,6 +49,7 @@ class ILUPreconditioner:
     """
 
     def __init__(self, grid: Grid, stencil: Stencil, unknown):
+        _require_5pt(stencil)
         self.grid = grid
         pshape = grid.shape_padded
         un = np.asarray(unknown)
@@ -165,6 +177,7 @@ class ILUKPreconditioner:
     def __init__(self, grid: Grid, stencil: Stencil, unknown, *,
                  fill_level: int = 1, drop_tolerance: float = 0.0,
                  milu: bool = False, diagonal_shift: float = 0.0):
+        _require_5pt(stencil)
         self.grid = grid
         self.fill_level = int(fill_level)
         self.drop_tolerance = float(drop_tolerance)
