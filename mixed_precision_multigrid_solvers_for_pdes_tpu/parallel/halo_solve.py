@@ -53,8 +53,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.bc import BCKind
 from ..ops import norms, transfer
+from ..ops import stencil as st_ops
+from ..ops.stencil import Stencil, Stencil9, _S9_FIELDS
 from ..solvers import multigrid as mg_mod
 from ..solvers.multigrid import Level, MultigridConfig
+
+_S5_FIELDS = ("c", "w", "e", "s", "n")
+
+
+def _stencil_fields(is9: bool):
+    return _S9_FIELDS if is9 else _S5_FIELDS
+
+
+def _flatten_stencils(sten):
+    return tuple(
+        getattr(st, k)
+        for st in sten
+        for k in _stencil_fields(isinstance(st, Stencil9))
+    )
+
+
+def _rebuild_stencils(leaves, is9_flags):
+    out, i = [], 0
+    for is9 in is9_flags:
+        names = _stencil_fields(is9)
+        vals = leaves[i:i + len(names)]
+        i += len(names)
+        out.append(Stencil9(*vals) if is9 else Stencil(*vals))
+    return tuple(out)
 
 Pxy = P("x", "y")
 Prep = P()
@@ -87,15 +113,6 @@ def make_plan(levels: Tuple[Level, ...], mesh: Mesh,
     8 * 2^(S-1) so every sharded level's block is sublane-aligned and
     exactly half its parent's.
     """
-    from ..ops.stencil import Stencil9
-
-    if any(isinstance(lev.stencil, Stencil9) for lev in levels):
-        # 9-point Galerkin levels need corner halos (diagonal couplings);
-        # the GSPMD path handles them automatically — use that instead
-        raise NotImplementedError(
-            "halo_solve supports 5-point stencils only; Galerkin (9-point) "
-            "hierarchies run under the GSPMD distribution path"
-        )
     mx = mesh.shape["x"]
     my = mesh.shape["y"]
     S = 0
@@ -182,25 +199,32 @@ def _block_unknown(spec, nx: int, ny: int, gi, gj):
 
 
 def _nbsum_ext(stb, uh):
-    """w*u_W + e*u_E + s*u_S + n*u_N on the (bx, by) core of a haloed array.
+    """Off-diagonal coupling sum on the (bx, by) core of a haloed array
+    (corners included for 9-point Galerkin stencils — _with_halo's two-stage
+    assembly routes the diagonal values).
 
-    ``stb``: stencil leaves (scalars or local (bx, by) blocks)."""
-    return (
+    ``stb``: stencil leaves (scalars or local (bx, by) blocks). Term order
+    matches ops.stencil.neighbor_sum so sharded sweeps stay bit-identical
+    to the single-device path."""
+    out = (
         stb.w * uh[:-2, 1:-1]
         + stb.e * uh[2:, 1:-1]
         + stb.s * uh[1:-1, :-2]
         + stb.n * uh[1:-1, 2:]
     )
+    if isinstance(stb, Stencil9):
+        out = out + (
+            stb.sw * uh[:-2, :-2]
+            + stb.se * uh[2:, :-2]
+            + stb.nw * uh[:-2, 2:]
+            + stb.ne * uh[2:, 2:]
+        )
+    return out
 
 
 def _nbsum_local(stb, u):
     """Same sum from local rolls only — valid away from the block ring."""
-    return (
-        stb.w * jnp.roll(u, 1, 0)
-        + stb.e * jnp.roll(u, -1, 0)
-        + stb.s * jnp.roll(u, 1, 1)
-        + stb.n * jnp.roll(u, -1, 1)
-    )
+    return st_ops.neighbor_sum(stb, u)
 
 
 def _ring_mask(bx: int, by: int):
@@ -374,9 +398,9 @@ def _repack_stencil(st, grid, hshape):
             return x
         return _repack(x, grid, hshape)
 
-    from ..ops.stencil import Stencil
-
-    return Stencil(*(leaf(getattr(st, k)) for k in "cwesn"))
+    names = _stencil_fields(isinstance(st, Stencil9))
+    vals = tuple(leaf(getattr(st, k)) for k in names)
+    return Stencil9(*vals) if isinstance(st, Stencil9) else Stencil(*vals)
 
 
 # ---------------------------------------------------------------------------
@@ -441,10 +465,13 @@ def _halo_solve_jit(mesh, levels, plan, f, u0, cfg, overlap):
             sten.append(_repack_stencil(lev.stencil, lev.grid, plan.hshape(l)))
         else:
             sten.append(lev.stencil)
-    # flatten: each Stencil contributes exactly its 5 (c,w,e,s,n) leaves
-    sten_leaves = tuple(x for st in sten for x in (st.c, st.w, st.e, st.s,
-                                                   st.n))
-    meta = tuple((lev.grid, lev.spec, np.dtype(lev.dtype)) for lev in levels)
+    # flatten: each stencil contributes its 5 (or 9, Galerkin) field leaves
+    sten_leaves = _flatten_stencils(sten)
+    meta = tuple(
+        (lev.grid, lev.spec, np.dtype(lev.dtype),
+         isinstance(lev.stencil, Stencil9))
+        for lev in levels
+    )
     u_out_h, packed = _halo_solve_core(
         f_h, u_h, sten_leaves, mesh=mesh, plan=plan, cfg=cfg,
         overlap=overlap, meta=meta)
@@ -458,13 +485,11 @@ def _halo_solve_jit(mesh, levels, plan, f, u0, cfg, overlap):
 @partial(jax.jit, static_argnames=("mesh", "plan", "cfg", "overlap", "meta"))
 def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
                      meta):
-    from ..ops.stencil import Stencil
-
     S = plan.n_sharded
     mx, my = plan.mx, plan.my
     n_lev = len(meta)
-    sten_traced = tuple(
-        Stencil(*sten_leaves[5 * l: 5 * l + 5]) for l in range(n_lev))
+    is9_flags = tuple(m[3] for m in meta)
+    sten_traced = _rebuild_stencils(sten_leaves, is9_flags)
     levels = tuple(
         Level(stencil=sten_traced[l], grid=meta[l][0], spec=meta[l][1],
               dtype=meta[l][2])
@@ -474,8 +499,8 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
     leaf_specs = []
     for l in range(n_lev):
         st = sten_traced[l]
-        for leaf in (st.c, st.w, st.e, st.s, st.n):
-            sharded = l < S and jnp.ndim(leaf) != 0
+        for k in _stencil_fields(is9_flags[l]):
+            sharded = l < S and jnp.ndim(getattr(st, k)) != 0
             leaf_specs.append(Pxy if sharded else Prep)
     in_specs = ((Pxy if S else Prep), (Pxy if S else Prep),
                 tuple(leaf_specs))
@@ -484,8 +509,7 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=out_specs, check_vma=False)
     def run(u_blk, f_blk, leaves):
-        sten = tuple(Stencil(*leaves[5 * l: 5 * l + 5])
-                     for l in range(n_lev))
+        sten = _rebuild_stencils(leaves, is9_flags)
 
         def level_ctx(l):
             lev = levels[l]

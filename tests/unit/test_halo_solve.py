@@ -58,6 +58,14 @@ class TestHaloSolveMatchesGSPMD:
         u, info = _compare(mesh, prob)
         assert prob.error_norms(u)["l2"] < 1e-3
 
+    def test_galerkin_9point(self, mesh):
+        """Galerkin (9-point) hierarchy on the explicit path: corner halo
+        values route through the two-stage x-then-y assembly; the jump-
+        coefficient solve must match the GSPMD solve bit-for-bit."""
+        prob = P.jump_coefficient_problem(65)
+        u, info = _compare(mesh, prob, cfg=CFG.replace(coarsening="galerkin"))
+        assert info["convergence_factor"] < 0.11
+
     def test_neumann(self, mesh):
         prob = P.neumann_test_problem(65)
         u, info = _compare(mesh, prob)
