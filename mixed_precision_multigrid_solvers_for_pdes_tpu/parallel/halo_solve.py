@@ -35,9 +35,16 @@ Design:
   9-point sum (x-fold then y-fold composes to the correct corner rule).
 - Norms are ``psum`` reductions of per-block f64 partial sums
   (reference multi_gpu_solver.py:546-572 did this on the host).
+- **Periodic BCs are the torus case**: a periodic axis stores only its
+  unique nodes (n-1 = 2^k of them for a 2^k+1 grid), which tile the device
+  mesh EXACTLY (make_plan requires it, else the axis falls back to
+  replication), halo ``ppermute``s become full cyclic permutations, and the
+  single-device duplicate-node/ghost-sync machinery (core/bc.periodic_sync)
+  vanishes inside the region — wrap neighbors ARE the halos. Replicated
+  coarse levels keep the standard synced-ghost layout.
 
-Periodic BCs and line/Chebyshev smoothers stay on the GSPMD path
-(parallel/distributed.py); this module raises for them.
+Line/Chebyshev smoothers stay on the GSPMD path (parallel/distributed.py);
+this module raises for them.
 """
 
 from __future__ import annotations
@@ -112,9 +119,16 @@ def make_plan(levels: Tuple[Level, ...], mesh: Mesh,
     rows AND cols; block sizes at the finest level are multiples of
     8 * 2^(S-1) so every sharded level's block is sublane-aligned and
     exactly half its parent's.
+
+    Periodic axes must tile EXACTLY (the unique extent n-1 = 2^k divided by
+    the mesh axis, a multiple of the quant) so cyclic halos wrap with zero
+    padding; if no sharded depth satisfies that, the solve is replicated.
     """
     mx = mesh.shape["x"]
     my = mesh.shape["y"]
+    spec0 = levels[0].spec
+    wx = spec0.west.kind == BCKind.PERIODIC
+    wy = spec0.south.kind == BCKind.PERIODIC
     S = 0
     for lev in levels:
         if lev.grid.nx // mx >= min_points and lev.grid.ny // my >= min_points:
@@ -123,26 +137,39 @@ def make_plan(levels: Tuple[Level, ...], mesh: Mesh,
             break
     if mx * my == 1:
         S = 0
+    nx0, ny0 = levels[0].grid.nx, levels[0].grid.ny
+
+    def axis_b0(n0: int, m: int, w: bool, S: int):
+        """Finest-level block extent for one axis (None = infeasible)."""
+        quant = 8 * (1 << (S - 1))
+        if w:
+            # periodic: unique nodes 0..n0-2 tile the axis exactly
+            if (n0 - 1) % m:
+                return None
+            b0 = (n0 - 1) // m
+            return b0 if b0 % quant == 0 else None
+        # every sharded level's global halo extent must cover its logical
+        # nodes plus one even row/col of slack for the 2:1 transfer reads
+        b0 = _round_up(-(-n0 // m), quant)
+
+        def ok(b0):
+            for l in range(S):
+                if (b0 >> l) * m < ((n0 - 1) >> l) + 2:
+                    return False
+            return True
+
+        while not ok(b0):
+            b0 += quant
+        return b0
+
+    while S > 0:
+        bx0 = axis_b0(nx0, mx, wx, S)
+        by0 = axis_b0(ny0, my, wy, S)
+        if bx0 is not None and by0 is not None:
+            break
+        S -= 1
     if S == 0:
         return HaloPlan(mx, my, 0, ())
-    quant = 8 * (1 << (S - 1))
-    nx0, ny0 = levels[0].grid.nx, levels[0].grid.ny
-    bx0 = _round_up(-(-nx0 // mx), quant)
-    by0 = _round_up(-(-ny0 // my), quant)
-    # every sharded level's global halo extent must cover its logical nodes
-    # plus one even row/col of slack for the 2:1 transfer reads
-    def ok(b0, n0, m, which):
-        for l in range(S):
-            bl = b0 >> l
-            nl = (n0 - 1) // (1 << l) + 1
-            if bl * m < nl + 1:
-                return False
-        return True
-
-    while not ok(bx0, nx0, mx, "x"):
-        bx0 += quant
-    while not ok(by0, ny0, my, "y"):
-        by0 += quant
     blocks = tuple((bx0 >> l, by0 >> l) for l in range(S))
     return HaloPlan(mx, my, S, blocks)
 
@@ -151,22 +178,31 @@ def make_plan(levels: Tuple[Level, ...], mesh: Mesh,
 # in-shard_map helpers (all run per-device on local blocks)
 # ---------------------------------------------------------------------------
 
-def _shift(x, axis_name: str, shift: int, size: int):
-    """ppermute by ``shift`` along a mesh axis; off-mesh edges get zeros."""
+def _shift(x, axis_name: str, shift: int, size: int, wrap: bool = False):
+    """ppermute by ``shift`` along a mesh axis.
+
+    Off-mesh edges get zeros; with ``wrap`` (periodic axis) the permutation
+    is cyclic — and for a single-device axis the sent slice IS the wrap
+    neighbor (the block's own opposite edge), so it is returned as-is."""
     if size == 1:
-        return jnp.zeros_like(x)
-    perm = [(i, i + shift) for i in range(size) if 0 <= i + shift < size]
+        return x if wrap else jnp.zeros_like(x)
+    if wrap:
+        perm = [(i, (i + shift) % size) for i in range(size)]
+    else:
+        perm = [(i, i + shift) for i in range(size) if 0 <= i + shift < size]
     return jax.lax.ppermute(x, axis_name, perm)
 
 
-def _with_halo(blk, mx: int, my: int):
+def _with_halo(blk, mx: int, my: int, wx: bool = False, wy: bool = False):
     """(bx, by) -> (bx+2, by+2) with 1-ring neighbor halos (corners via the
-    two-stage x-then-y assembly, which routes diagonal values correctly)."""
-    top = _shift(blk[-1:, :], "x", +1, mx)
-    bot = _shift(blk[:1, :], "x", -1, mx)
+    two-stage x-then-y assembly, which routes diagonal values correctly —
+    including across periodic wraps, where the cyclic x-stage has already
+    installed the wrap rows before the y-stage ships the corner cells)."""
+    top = _shift(blk[-1:, :], "x", +1, mx, wx)
+    bot = _shift(blk[:1, :], "x", -1, mx, wx)
     ext = jnp.concatenate([top, blk, bot], axis=0)
-    left = _shift(ext[:, -1:], "y", +1, my)
-    right = _shift(ext[:, :1], "y", -1, my)
+    left = _shift(ext[:, -1:], "y", +1, my, wy)
+    right = _shift(ext[:, :1], "y", -1, my, wy)
     return jnp.concatenate([left, ext, right], axis=1)
 
 
@@ -185,16 +221,23 @@ def _gidx(bx: int, by: int, *, ext: bool = False):
 
 def _block_unknown(spec, nx: int, ny: int, gi, gj):
     """bc_mod.unknown_mask semantics from global indices (Dirichlet sides
-    exclude the ring; Neumann/Robin rings are unknowns)."""
+    exclude the ring; Neumann/Robin rings are unknowns; periodic axes own
+    the unique nodes 0..n-2 — which is the whole halo-layout extent)."""
     mask = (gi < nx) & (gj < ny) & (gi >= 0) & (gj >= 0)
-    if spec.west.kind == BCKind.DIRICHLET:
-        mask &= gi > 0
-    if spec.east.kind == BCKind.DIRICHLET:
+    if spec.west.kind == BCKind.PERIODIC:
         mask &= gi < nx - 1
-    if spec.south.kind == BCKind.DIRICHLET:
-        mask &= gj > 0
-    if spec.north.kind == BCKind.DIRICHLET:
+    else:
+        if spec.west.kind == BCKind.DIRICHLET:
+            mask &= gi > 0
+        if spec.east.kind == BCKind.DIRICHLET:
+            mask &= gi < nx - 1
+    if spec.south.kind == BCKind.PERIODIC:
         mask &= gj < ny - 1
+    else:
+        if spec.south.kind == BCKind.DIRICHLET:
+            mask &= gj > 0
+        if spec.north.kind == BCKind.DIRICHLET:
+            mask &= gj < ny - 1
     return mask
 
 
@@ -234,7 +277,7 @@ def _ring_mask(bx: int, by: int):
 
 
 def _smooth_block(stb, u, f, unknown, mx, my, *, method, sweeps, omega,
-                  overlap: bool = True):
+                  overlap: bool = True, wx: bool = False, wy: bool = False):
     """``sweeps`` sweeps of Jacobi or RB-GS with per-color halo exchange.
 
     With ``overlap`` the interior update is computed from local data while
@@ -247,7 +290,7 @@ def _smooth_block(stb, u, f, unknown, mx, my, *, method, sweeps, omega,
     red = ((gi + gj) & 1) == 0
 
     def merged_gs(u, mask):
-        uh = _with_halo(u, mx, my)
+        uh = _with_halo(u, mx, my, wx, wy)
         u_gs_h = (f + _nbsum_ext(stb, uh)) / stb.c
         if overlap:
             u_gs_l = (f + _nbsum_local(stb, u)) / stb.c
@@ -259,7 +302,7 @@ def _smooth_block(stb, u, f, unknown, mx, my, *, method, sweeps, omega,
     if method == "jacobi":
 
         def sweep(_, u):
-            uh = _with_halo(u, mx, my)
+            uh = _with_halo(u, mx, my, wx, wy)
             r_h = f - (stb.c * u - _nbsum_ext(stb, uh))
             if overlap:
                 r_l = f - (stb.c * u - _nbsum_local(stb, u))
@@ -286,8 +329,8 @@ def _smooth_block(stb, u, f, unknown, mx, my, *, method, sweeps, omega,
     return jax.lax.fori_loop(0, sweeps, sweep, u)
 
 
-def _residual_block(stb, u, f, unknown, mx, my):
-    uh = _with_halo(u, mx, my)
+def _residual_block(stb, u, f, unknown, mx, my, wx=False, wy=False):
+    uh = _with_halo(u, mx, my, wx, wy)
     r = f - (stb.c * u - _nbsum_ext(stb, uh))
     return jnp.where(unknown, r, jnp.zeros((), u.dtype))
 
@@ -298,10 +341,11 @@ def _install_reflection(rh, spec, nx, ny, bx, by):
     realizing the Neumann/Robin 'reflect' restriction blockwise. Applying
     x first and y second composes to the correct corner (2x2-mean) rule."""
     gih, gjh = _gidx(bx, by, ext=True)
-    refl_w = spec.west.kind != BCKind.DIRICHLET
-    refl_e = spec.east.kind != BCKind.DIRICHLET
-    refl_s = spec.south.kind != BCKind.DIRICHLET
-    refl_n = spec.north.kind != BCKind.DIRICHLET
+    no_refl = (BCKind.DIRICHLET, BCKind.PERIODIC)  # periodic halos wrap
+    refl_w = spec.west.kind not in no_refl
+    refl_e = spec.east.kind not in no_refl
+    refl_s = spec.south.kind not in no_refl
+    refl_n = spec.north.kind not in no_refl
     if refl_w:
         rh = jnp.where(gih == -1, jnp.roll(rh, -2, 0), rh)
     if refl_e:
@@ -314,14 +358,14 @@ def _install_reflection(rh, spec, nx, ny, bx, by):
 
 
 def _restrict_block(r, lev_f: Level, lev_c: Level, mx, my, unknown_c,
-                    bxc: int, byc: int):
+                    bxc: int, byc: int, wx=False, wy=False):
     """Blockwise full-weighting restriction: 9-point sum on the halo-extended
     residual, then 2:1 decimation (sublane reshape + selection matmul —
     ops/transfer.py's MXU formulation, reused per block)."""
     bx, by = r.shape
-    rh = _with_halo(r, mx, my)
+    rh = _with_halo(r, mx, my, wx, wy)
     plain = all(
-        lev_f.spec.side(s).kind == BCKind.DIRICHLET
+        lev_f.spec.side(s).kind in (BCKind.DIRICHLET, BCKind.PERIODIC)
         for s in ("west", "east", "south", "north")
     )
     if not plain:
@@ -337,14 +381,17 @@ def _restrict_block(r, lev_f: Level, lev_c: Level, mx, my, unknown_c,
     return jnp.where(unknown_c, c, jnp.zeros((), lev_c.dtype))
 
 
-def _prolong_block(ec, lev_f: Level, mx, my, bx: int, by: int):
+def _prolong_block(ec, lev_f: Level, mx, my, bx: int, by: int,
+                   wx=False, wy=False):
     """Blockwise bilinear prolongation: coarse block + 1-ring east/north halo,
-    then interpolation matmuls (exact, no lane reshapes)."""
+    then interpolation matmuls (exact, no lane reshapes). On periodic axes
+    the last block's east/north halo wraps to block 0 — the +1 parent of the
+    final odd fine node is coarse node 0's duplicate."""
     bxc, byc = ec.shape
     # east/north halo only (parents of odd fine rows/cols at the block end)
-    bot = _shift(ec[:1, :], "x", -1, mx)
+    bot = _shift(ec[:1, :], "x", -1, mx, wx)
     extx = jnp.concatenate([ec, bot], axis=0)           # (bxc+1, byc)
-    right = _shift(extx[:, :1], "y", -1, my)
+    right = _shift(extx[:, :1], "y", -1, my, wy)
     ext = jnp.concatenate([extx, right], axis=1)        # (bxc+1, byc+1)
     Ex = jnp.asarray(_block_interp(bxc + 1, bx), lev_f.dtype)
     Ey = jnp.asarray(_block_interp(byc + 1, by), lev_f.dtype)
@@ -387,9 +434,13 @@ def _repack(field, grid, hshape):
 
 
 def _unpack(field_h, grid):
+    """halo layout -> standard padded (periodic axes' halo extent is the
+    n-1 unique nodes, hence the min; the caller re-syncs duplicates)."""
     px, py = grid.shape_padded
+    nx = min(grid.nx, field_h.shape[0])
+    ny = min(grid.ny, field_h.shape[1])
     out = jnp.zeros((px, py), field_h.dtype)
-    return out.at[: grid.nx, : grid.ny].set(field_h[: grid.nx, : grid.ny])
+    return out.at[:nx, :ny].set(field_h[:nx, :ny])
 
 
 def _repack_stencil(st, grid, hshape):
@@ -420,13 +471,11 @@ def halo_solve(
     """mg_solve with the whole solve inside one shard_map region.
 
     Accepts/returns standard padded arrays (repacked internally). Matches
-    ``mg_solve``'s info dict. Raises for periodic specs and line smoothers
-    (GSPMD path covers those).
+    ``mg_solve``'s info dict. Raises for line smoothers (GSPMD path covers
+    those). Periodic axes run as a torus — cyclic halo ppermutes over an
+    exactly-tiled unique-node region (see module docstring).
     """
     lev0 = levels[0]
-    if lev0.spec.any_periodic:
-        raise NotImplementedError(
-            "halo_solve: periodic BCs take the GSPMD path")
     if cfg.smoother not in ("jacobi", "rbgs", "gauss_seidel", "red_black",
                             "sor"):
         raise NotImplementedError(
@@ -479,6 +528,9 @@ def _halo_solve_jit(mesh, levels, plan, f, u0, cfg, overlap):
         u_out = _unpack(u_out_h, lev0.grid)
     else:
         u_out = u_out_h
+    sync0 = lev0.sync
+    if sync0 is not None:
+        u_out = sync0(u_out)  # restore periodic duplicates (mg_solve parity)
     return u_out, packed
 
 
@@ -510,6 +562,9 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
              out_specs=out_specs, check_vma=False)
     def run(u_blk, f_blk, leaves):
         sten = _rebuild_stencils(leaves, is9_flags)
+        spec0 = levels[0].spec
+        wx = spec0.west.kind == BCKind.PERIODIC
+        wy = spec0.south.kind == BCKind.PERIODIC
 
         def level_ctx(l):
             lev = levels[l]
@@ -531,19 +586,21 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
             if l < S:
                 return _smooth_block(stb, u, f, unknown, mx, my,
                                      method=method, sweeps=sweeps,
-                                     omega=omega, overlap=overlap)
+                                     omega=omega, overlap=overlap,
+                                     wx=wx, wy=wy)
             from ..ops import smooth as smooth_mod
 
             return smooth_mod.smooth(stb, u, f, unknown, method=method,
-                                     sweeps=sweeps, omega=omega)
+                                     sweeps=sweeps, omega=omega,
+                                     sync=lev.sync)
 
         def residual(l, u, f):
             lev, stb, unknown = level_ctx(l)
             if l < S:
-                return _residual_block(stb, u, f, unknown, mx, my)
+                return _residual_block(stb, u, f, unknown, mx, my, wx, wy)
             from ..ops import stencil as st_mod
 
-            return st_mod.residual(stb, u, f, unknown)
+            return st_mod.residual(stb, u, f, unknown, lev.sync)
 
         def to_coarse(l, r):
             """restrict level-l residual -> level-(l+1) rhs."""
@@ -555,29 +612,37 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
                 unknown_c = _block_unknown(lev_c.spec, lev_c.grid.nx,
                                            lev_c.grid.ny, gi, gj)
                 return _restrict_block(r, lev_f, lev_c, mx, my, unknown_c,
-                                       bxc, byc)
+                                       bxc, byc, wx, wy)
             if l < S:           # sharded -> replicated (agglomeration)
                 bx, by = plan.blocks[l]
                 virt = _restrict_block(
                     r, lev_f, lev_c, mx, my,
-                    jnp.ones((bx // 2, by // 2), bool), bx // 2, by // 2)
+                    jnp.ones((bx // 2, by // 2), bool), bx // 2, by // 2,
+                    wx, wy)
                 full = jax.lax.all_gather(virt, "x", axis=0, tiled=True)
                 full = jax.lax.all_gather(full, "y", axis=1, tiled=True)
                 pxc, pyc = lev_c.grid.shape_padded
                 out = jnp.zeros((pxc, pyc), lev_c.dtype)
-                nx, ny = lev_c.grid.nx, lev_c.grid.ny
+                nx = min(lev_c.grid.nx, full.shape[0])
+                ny = min(lev_c.grid.ny, full.shape[1])
                 out = out.at[:nx, :ny].set(full[:nx, :ny])
                 return jnp.where(lev_c.unknown, out,
                                  jnp.zeros((), lev_c.dtype))
-            # replicated -> replicated: single-device path
+            # replicated -> replicated: single-device path (multigrid._cycle)
+            wrapf = (lev_f.spec.west.kind == BCKind.PERIODIC,
+                     lev_f.spec.south.kind == BCKind.PERIODIC)
             plain = all(
-                lev_f.spec.side(s).kind == BCKind.DIRICHLET
+                lev_f.spec.side(s).kind in (BCKind.DIRICHLET,
+                                            BCKind.PERIODIC)
                 for s in ("west", "east", "south", "north")
             )
+            if any(wrapf):
+                r = lev_f.sync(r)  # wrap ghosts feed the seam windows
             fc = transfer.restrict(
                 r, lev_c.grid.nx, lev_c.grid.ny, lev_c.grid.shape_padded,
                 method=cfg.restriction,
                 boundary="zero" if plain else "reflect", dtype=lev_c.dtype,
+                wrap=wrapf,
             )
             return jnp.where(lev_c.unknown, fc, jnp.zeros((), lev_c.dtype))
 
@@ -587,8 +652,12 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
             lev_c = levels[l + 1]
             if l + 1 < S:       # sharded -> sharded
                 bx, by = plan.blocks[l]
-                return _prolong_block(ec, lev_f, mx, my, bx, by)
+                return _prolong_block(ec, lev_f, mx, my, bx, by, wx, wy)
             if l < S:           # replicated -> sharded (de-agglomeration)
+                if lev_c.sync is not None:
+                    # last block's +1 window column/row reads the coarse
+                    # duplicate node — mirror it from node 0 first
+                    ec = lev_c.sync(ec)
                 bx, by = plan.blocks[l]
                 bxc, byc = bx // 2, by // 2
                 pxc, pyc = ec.shape
@@ -609,6 +678,8 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
                     precision=HIGH)
                 return jnp.dot(tall, Ey, precision=HIGH)
             # replicated -> replicated
+            if lev_c.sync is not None:
+                ec = lev_c.sync(ec)  # coarse dup mirrors node 0 (mg _cycle)
             return transfer.prolong(
                 ec, lev_c.grid.nx, lev_c.grid.ny, lev_f.grid.nx,
                 lev_f.grid.ny, lev_f.grid.shape_padded,

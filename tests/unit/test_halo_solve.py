@@ -66,6 +66,38 @@ class TestHaloSolveMatchesGSPMD:
         u, info = _compare(mesh, prob, cfg=CFG.replace(coarsening="galerkin"))
         assert info["convergence_factor"] < 0.11
 
+    def test_periodic(self, mesh):
+        """Fully periodic Helmholtz: the torus case. Unique nodes tile the
+        mesh exactly (128 = 2*64 = 4*32), halos are cyclic ppermutes, and
+        the solve must match the GSPMD (sync-ghost) path."""
+        prob = P.periodic_helmholtz_mms(129)
+        u, info = _compare(mesh, prob)
+        assert prob.error_norms(u)["l2"] < 1e-3
+
+    def test_periodic_mixed_dirichlet(self, mesh):
+        """x periodic, y Dirichlet: one cyclic mesh axis, one open."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core import bc as bc_mod
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid import Grid
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.models.problems import (
+            from_callables,
+        )
+
+        pi = np.pi
+        spec = bc_mod.BoundarySpec(
+            west=bc_mod.BCSide(kind=bc_mod.BCKind.PERIODIC),
+            east=bc_mod.BCSide(kind=bc_mod.BCKind.PERIODIC),
+            south=bc_mod.BCSide(kind=bc_mod.BCKind.DIRICHLET),
+            north=bc_mod.BCSide(kind=bc_mod.BCKind.DIRICHLET),
+        )
+        prob = from_callables(
+            "periodic_x_dirichlet_y", Grid(129, 129),
+            u_exact=lambda X, Y: np.sin(2 * pi * X) * np.sin(pi * Y),
+            f=lambda X, Y: 5 * pi**2 * np.sin(2 * pi * X) * np.sin(pi * Y),
+            spec=spec,
+        )
+        u, info = _compare(mesh, prob)
+        assert prob.error_norms(u)["l2"] < 1e-3
+
     def test_neumann(self, mesh):
         prob = P.neumann_test_problem(65)
         u, info = _compare(mesh, prob)
@@ -131,10 +163,11 @@ class TestHaloSolveVariants:
         np.testing.assert_allclose(np.asarray(u_h), np.asarray(u_ref),
                                    rtol=0, atol=1e-12)
 
-    def test_periodic_raises(self, mesh):
-        prob = P.periodic_helmholtz_mms(65)
-        levels = mg.build_hierarchy(prob.grid, prob.spec, lam=prob.lam,
-                                    dtype="float64", cfg=CFG)
+    def test_line_smoother_raises(self, mesh):
+        prob = P.poisson_mms_sinsin(65)
+        cfg = CFG.replace(smoother="adi")
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=cfg)
         with pytest.raises(NotImplementedError):
             halo_solve.halo_solve(mesh, levels, prob.rhs(jnp.float64),
-                                  cfg=CFG)
+                                  cfg=cfg)
