@@ -214,12 +214,17 @@ def make_step_fn(
     problem: HeatProblem,
     levels0: Tuple[Level, ...],
     cfg: HeatConfig,
+    constrain=None,
 ):
     """Build step(u_prev, u, t, dt) -> u_next for the configured scheme.
 
     ``levels0`` is the lam=0 hierarchy of A_sp = -div(a grad). ``u_prev`` is
     the n-1 state (used by BDF2 only; pass ``u`` for single-step schemes).
     All of (t, dt) are traced, so one compilation serves every step size.
+    ``constrain`` optionally maps (array, Level) -> array to inject per-level
+    sharding constraints (see parallel.distributed.make_constrainer) — with it
+    the whole time loop runs SPMD over a device mesh, halo collectives
+    inserted by XLA inside each V-cycle.
     """
     grid, spec, alpha = problem.grid, problem.spec, problem.alpha
     dtype = jnp.dtype(cfg.dtype)
@@ -228,6 +233,11 @@ def make_step_fn(
     X, Y = problem.mesh(dtype)
     st_sp = lev0.stencil  # fine-level spatial stencil (lam=0)
     sync0 = lev0.sync
+
+    if constrain is not None:
+        _pin = lambda v: constrain(v, lev0)  # noqa: E731  pin scan-carry layout
+    else:
+        _pin = lambda v: v                   # noqa: E731
 
     def apply_sp(u):
         """A_sp u minus the BC-elimination correction (the true operator)."""
@@ -242,7 +252,7 @@ def make_step_fn(
         ~rho^cycles * ||step increment||, which pollutes temporal-order
         measurements; the while_loop tail removes it without host syncs."""
         for _ in range(cfg.cycles_per_step):
-            u = mg_mod.mg_cycle(levels, u, f, cfg.mg)
+            u = mg_mod.mg_cycle(levels, u, f, cfg.mg, constrain=constrain)
         extra = cfg.max_cycles_per_step - cfg.cycles_per_step
         if cfg.step_rtol <= 0.0 or extra <= 0:
             return u
@@ -261,7 +271,7 @@ def make_step_fn(
 
         def body(c):
             u, k, _ = c
-            u = mg_mod.mg_cycle(levels, u, f, cfg.mg)
+            u = mg_mod.mg_cycle(levels, u, f, cfg.mg, constrain=constrain)
             return (u, k + 1, rnorm_of(u))
 
         u, _, _ = jax.lax.while_loop(
@@ -276,7 +286,7 @@ def make_step_fn(
             lap = -(apply_sp(u) - cbc)            # div(a grad u) at t
             rhs = (alpha * lap + _source(problem, X, Y, t, dtype)).astype(dtype)
             u_new = jnp.where(unknown, u + dt.astype(dtype) * rhs, u)
-            return _install_dirichlet(problem, u_new, X, Y, tn1)
+            return _pin(_install_dirichlet(problem, u_new, X, Y, tn1))
 
         return step
 
@@ -306,7 +316,7 @@ def make_step_fn(
             )
             F = jnp.where(unknown, F, jnp.zeros((), dtype))
             u_new = _install_dirichlet(problem, u, X, Y, tn1)
-            return cycles(levels, u_new, F)
+            return _pin(cycles(levels, u_new, F))
 
         return step
 
@@ -329,7 +339,7 @@ def make_step_fn(
             F = F - (1.0 - th) / th * (apply_sp(u) - cbc0)
         F = jnp.where(unknown, F, jnp.zeros((), dtype))
         u_new = _install_dirichlet(problem, u, X, Y, tn1)
-        return cycles(levels, u_new, F)
+        return _pin(cycles(levels, u_new, F))
 
     return step
 
@@ -346,18 +356,18 @@ def _run_scan(step, u_prev0, u0, t0, dt, n_steps: int, save_every: int):
         out = u_new if save_every else None
         return (u, u_new, t + dt), out
 
-    (_, u, t), saved = jax.lax.scan(
+    (u_prev, u, t), saved = jax.lax.scan(
         body, (u_prev0, u0, t0), jnp.arange(n_steps), unroll=1
     )
     if save_every:
         saved = saved[save_every - 1 :: save_every]
-    return u, t, saved
+    return u_prev, u, t, saved
 
 
-def _bootstrap_bdf2(problem, levels0, cfg, u0, t0, dt):
+def _bootstrap_bdf2(problem, levels0, cfg, u0, t0, dt, constrain=None):
     """First BDF2 step via one Crank-Nicolson step (standard bootstrap)."""
     cn = dataclasses.replace(cfg, scheme="crank_nicolson")
-    step_cn = make_step_fn(problem, levels0, cn)
+    step_cn = make_step_fn(problem, levels0, cn, constrain=constrain)
     u1 = step_cn(u0, u0, t0, dt)
     return u1
 
@@ -369,28 +379,52 @@ def solve_heat(
     cfg: HeatConfig = HeatConfig(),
     *,
     n_steps: Optional[int] = None,
+    mesh=None,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ) -> HeatResult:
     """Integrate the heat problem to ``t_final``.
 
     Fixed-dt path: the whole loop is one jitted ``lax.scan``. Adaptive path:
     host-driven accept/reject loop around the same compiled step
-    (step-doubling Richardson, reference heat_equation.py:268-330)."""
+    (step-doubling Richardson, reference heat_equation.py:268-330).
+
+    With ``mesh`` (a jax.sharding.Mesh from parallel.mesh.make_mesh) the
+    entire run is SPMD over the device mesh: every level of every per-step
+    V-cycle carries a block-partition sharding constraint and the scan carry
+    stays sharded — the distributed analog the reference never had for time
+    stepping (its multi-GPU path was steady-state only,
+    reference gpu/multi_gpu_solver.py:244).
+
+    With ``checkpoint`` (a utils.checkpoint.CheckpointManager) the fixed-dt
+    scan runs in chunks of ``checkpoint_every`` steps, saving (u_prev, u, t)
+    at each chunk boundary; a run pointed at a non-empty directory resumes
+    from its latest checkpoint (the reference persisted results only —
+    SURVEY.md section 5). checkpoint_every=0 saves once at the end."""
     dtype = jnp.dtype(cfg.dtype)
     grid = problem.grid
     # cache (hierarchy, step) per config on the problem: a fresh step closure
     # per call would re-trigger _run_scan's static-arg compilation every call
     cache = problem.__dict__.setdefault("_solver_cache", {})
     key = (cfg.mg, cfg.scheme, cfg.theta, cfg.cycles_per_step, cfg.step_rtol,
-           cfg.max_cycles_per_step, dtype.name)
+           cfg.max_cycles_per_step, dtype.name,
+           None if mesh is None else (mesh.shape_tuple, mesh.axis_names))
     if key in cache:
-        levels0, step = cache[key]
+        levels0, step, constrain = cache[key]
     else:
         levels0 = mg_mod.build_hierarchy(
             grid, problem.spec, a=problem.a, lam=0.0, dtype=dtype, cfg=cfg.mg
         )
-        step = make_step_fn(problem, levels0, cfg)
-        cache[key] = (levels0, step)
+        constrain = None
+        if mesh is not None:
+            from ..parallel import distributed as dist_mod
+            constrain = dist_mod.make_constrainer(mesh)
+        step = make_step_fn(problem, levels0, cfg, constrain=constrain)
+        cache[key] = (levels0, step, constrain)
     u0 = problem.initial_state(dtype)
+    if mesh is not None:
+        from ..parallel import distributed as dist_mod
+        u0 = dist_mod.shard_inputs(mesh, levels0, u0)
 
     if cfg.scheme == "explicit":
         limit = stability_limit_dt(
@@ -407,7 +441,7 @@ def solve_heat(
 
     if cfg.adaptive_dt:
         return _solve_adaptive(problem, levels0, cfg, step, u0, t_final,
-                               dt or t_final / 100.0)
+                               dt or t_final / 100.0, constrain=constrain)
 
     if dt is None and n_steps is None:
         raise ValueError("provide dt or n_steps")
@@ -419,14 +453,35 @@ def solve_heat(
     dt_t = jnp.asarray(dt, jnp.float64)
     u_prev0 = u0
     start = 0
-    if cfg.scheme == "bdf2" and n_steps >= 1:
-        u1 = _bootstrap_bdf2(problem, levels0, cfg, u0, t0, dt_t)
+    resumed = False
+    if checkpoint is not None and checkpoint.latest_step() is not None:
+        arrays, meta = checkpoint.restore()
+        if abs(meta.get("dt", dt) - dt) > 1e-12 * max(abs(dt), 1.0):
+            raise ValueError(
+                f"checkpoint dt={meta.get('dt')} != requested dt={dt}; "
+                "resume requires the same step size")
+        u_prev0 = jnp.asarray(arrays["u_prev"], dtype)
+        u0 = jnp.asarray(arrays["u"], dtype)
+        if mesh is not None:
+            from ..parallel import distributed as dist_mod
+            u_prev0, u0 = dist_mod.shard_inputs(mesh, levels0, u_prev0, u0)
+        start = int(meta["k"])
+        t0 = jnp.asarray(meta["t"], jnp.float64)
+        resumed = True
+    if cfg.scheme == "bdf2" and n_steps >= 1 and not resumed:
+        u1 = _bootstrap_bdf2(problem, levels0, cfg, u0, t0, dt_t,
+                             constrain=constrain)
         u_prev0, u0 = u0, u1
         t0 = t0 + dt_t
         start = 1
     saved_list = None
+    if checkpoint is not None:
+        return _solve_checkpointed(
+            problem, cfg, step, u_prev0, u0, t0, dt_t, n_steps, start, dt,
+            checkpoint, checkpoint_every,
+        )
     if start < n_steps:
-        u, t, saved = _run_scan(
+        _, u, t, saved = _run_scan(
             step, u_prev0, u0, t0, dt_t, n_steps - start, cfg.save_every
         )
         if cfg.save_every:
@@ -445,7 +500,41 @@ def solve_heat(
     return result
 
 
-def _solve_adaptive(problem, levels0, cfg, step, u0, t_final, dt0):
+def _solve_checkpointed(problem, cfg, step, u_prev0, u0, t0, dt_t,
+                        n_steps, start, dt, checkpoint, checkpoint_every):
+    """Chunked scan with checkpoint saves at chunk boundaries."""
+    every = checkpoint_every if checkpoint_every > 0 else n_steps
+    if cfg.save_every and every % cfg.save_every:
+        raise ValueError(
+            "checkpoint_every must be a multiple of save_every (snapshot "
+            "phase would drift across chunk boundaries otherwise)")
+    u_prev, u, t = u_prev0, u0, t0
+    k = start
+    saved_list: list = []
+    while k < n_steps:
+        m = min(every, n_steps - k)
+        u_prev, u, t, saved = _run_scan(
+            step, u_prev, u, t, dt_t, m, cfg.save_every)
+        if cfg.save_every:
+            ks = np.arange(k, k + m)[cfg.save_every - 1 :: cfg.save_every]
+            saved_list += [(float((kk + 1) * dt), np.asarray(sv))
+                           for kk, sv in zip(ks, saved)]
+        k += m
+        checkpoint.save(
+            k, {"u_prev": u_prev, "u": u},
+            {"t": float(t), "k": k, "dt": dt, "scheme": cfg.scheme},
+        )
+    result = HeatResult(
+        u=u, t=float(t), steps=n_steps,
+        dt_history=np.full(n_steps, dt), saved=saved_list or None,
+    )
+    if problem.exact is not None:
+        result.errors = problem.error_norms(u, float(t))
+    return result
+
+
+def _solve_adaptive(problem, levels0, cfg, step, u0, t_final, dt0,
+                    constrain=None):
     """Step-doubling: accept when |u_dt - u_{dt/2,x2}| / (2^p - 1) < dt_tol.
 
     BDF2 runs with variable-step coefficients (r = dt/dt_prev) and is
@@ -465,7 +554,9 @@ def _solve_adaptive(problem, levels0, cfg, step, u0, t_final, dt0):
 
     if is_bdf2:
         step_cn = make_step_fn(
-            problem, levels0, dataclasses.replace(cfg, scheme="crank_nicolson")
+            problem, levels0,
+            dataclasses.replace(cfg, scheme="crank_nicolson"),
+            constrain=constrain,
         )
 
     @jax.jit

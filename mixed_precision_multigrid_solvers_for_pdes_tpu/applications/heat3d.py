@@ -79,9 +79,15 @@ def solve_heat3d(
     t_final: float,
     dt: float,
     cfg: HeatConfig = HeatConfig(),
+    *,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Fixed-dt integration under one lax.scan (theta schemes, BDF2 with a
-    Crank-Nicolson bootstrap, explicit)."""
+    Crank-Nicolson bootstrap, explicit).
+
+    With ``mesh`` the run is SPMD over the device mesh: (x, y) are
+    block-partitioned, z stays on-device (lane axis + line-smoother
+    direction), per-level constraints threaded through every V-cycle."""
     if cfg.scheme not in ("explicit", "backward_euler", "crank_nicolson",
                           "theta", "bdf2"):
         raise ValueError(
@@ -96,6 +102,10 @@ def solve_heat3d(
     levels0 = mg3.build_hierarchy3d(grid, a=problem.a, lam=0.0,
                                     dtype=dtype, cfg=cfg.mg)
     lev0 = levels0[0]
+    constrain = None
+    if mesh is not None:
+        from ..parallel import distributed as dist_mod
+        constrain = dist_mod.make_constrainer3d(mesh)
     unknown = lev0.unknown
     X, Y, Z = problem.mesh(dtype)
     st_sp = lev0.stencil
@@ -126,7 +136,8 @@ def solve_heat3d(
             F = jnp.where(unknown, F, jnp.zeros((), dtype))
             u_new = install_bc(u, tn1)
             for _ in range(cfg.cycles_per_step):
-                u_new = mg3.mg_cycle3d(levels, u_new, F, cfg.mg)
+                u_new = mg3.mg_cycle3d(levels, u_new, F, cfg.mg,
+                                       constrain=constrain)
             return u_new
 
         return step
@@ -141,7 +152,8 @@ def solve_heat3d(
             lap = -st3.apply(st_sp, u)
             rhs = (alpha * lap + source(t)).astype(dtype)
             u_new = jnp.where(unknown, u + dt_.astype(dtype) * rhs, u)
-            return install_bc(u_new, t + dt_)
+            u_new = install_bc(u_new, t + dt_)
+            return u_new if constrain is None else constrain(u_new, lev0)
 
     elif cfg.scheme == "bdf2":
         # (3u^{n+1} - 4u^n + u^{n-1})/(2dt) = alpha(-A_sp u^{n+1}) + q^{n+1}
@@ -156,7 +168,8 @@ def solve_heat3d(
             F = jnp.where(unknown, F, jnp.zeros((), dtype))
             u_new = install_bc(u, tn1)
             for _ in range(cfg.cycles_per_step):
-                u_new = mg3.mg_cycle3d(levels, u_new, F, cfg.mg)
+                u_new = mg3.mg_cycle3d(levels, u_new, F, cfg.mg,
+                                       constrain=constrain)
             return u_new
 
     else:
@@ -173,6 +186,10 @@ def solve_heat3d(
         return u, t
 
     u0 = problem.initial_state(dtype)
+    if mesh is not None:
+        from ..parallel import mesh as mesh_mod
+        u0 = jax.device_put(
+            u0, mesh_mod.grid_sharding3d(mesh, grid))
     dt_t = jnp.asarray(dt_val, jnp.float64)
     t0 = jnp.asarray(0.0, jnp.float64)
     u_prev0, start = u0, 0

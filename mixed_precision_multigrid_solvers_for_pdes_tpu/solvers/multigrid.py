@@ -296,30 +296,34 @@ def mg_cycle(levels: Tuple[Level, ...], u, f, cfg: MultigridConfig = MultigridCo
 
 
 def fmg(levels: Tuple[Level, ...], f, cfg: MultigridConfig = MultigridConfig(),
-        cycles_per_level: int = 1):
+        cycles_per_level: int = 1, constrain=None):
     """Full multigrid initialization (reference advanced_multigrid.py:626-683):
-    restrict the RHS to every level, solve coarsest, prolong + cycle upward."""
-    rhs = [f.astype(levels[0].dtype)]
+    restrict the RHS to every level, solve coarsest, prolong + cycle upward.
+
+    ``constrain`` (array, Level) -> array keeps every per-level array sharded
+    under GSPMD, matching mg_cycle's hook."""
+    _c = constrain if constrain is not None else (lambda a, lev: a)
+    rhs = [_c(f.astype(levels[0].dtype), levels[0])]
     for lvl in range(len(levels) - 1):
         nxt = levels[lvl + 1]
         rhs.append(
-            transfer.restrict(
+            _c(transfer.restrict(
                 rhs[-1], nxt.grid.nx, nxt.grid.ny, nxt.grid.shape_padded,
                 method=cfg.restriction, boundary="inject", dtype=nxt.dtype,
-            )
+            ), nxt)
         )
     lev = levels[-1]
     u = jnp.zeros(lev.grid.shape_padded, lev.dtype)
-    u = _cycle(levels, u, rhs[-1], len(levels) - 1, cfg, "V")
+    u = _cycle(levels, u, rhs[-1], len(levels) - 1, cfg, "V", constrain)
     for lvl in range(len(levels) - 2, -1, -1):
         lev = levels[lvl]
-        u = transfer.prolong(
+        u = _c(transfer.prolong(
             u, levels[lvl + 1].grid.nx, levels[lvl + 1].grid.ny,
             lev.grid.nx, lev.grid.ny, lev.grid.shape_padded,
             method=cfg.prolongation, dtype=lev.dtype,
-        )
+        ), lev)
         for _ in range(cycles_per_level):
-            u = _cycle(levels, u, rhs[lvl], lvl, cfg, cfg.cycle)
+            u = _cycle(levels, u, rhs[lvl], lvl, cfg, cfg.cycle, constrain)
     return u
 
 
@@ -348,7 +352,7 @@ def _solve_jit(levels, f, u0, cfg: MultigridConfig, use_fmg: bool,
     )
 
     if use_fmg:
-        u = fmg(levels, f, cfg)
+        u = fmg(levels, f, cfg, constrain=constrain)
 
     r0 = st_mod.residual(lev0.stencil, u, f, unknown, sync0)
     rnorm0 = norms.scaled_l2(r0, hx, hy)

@@ -222,3 +222,82 @@ class TestSaveHistory:
         t_last, u_last = res.saved[-1]
         assert t_last == pytest.approx(0.02)
         np.testing.assert_allclose(u_last, np.asarray(res.u), rtol=1e-12)
+
+
+class TestCheckpointResume:
+    """Chunked-scan checkpoint/resume (the reference persisted results only,
+    SURVEY.md section 5)."""
+
+    def _cfg(self, scheme="crank_nicolson", **kw):
+        return HeatConfig(scheme=scheme, cycles_per_step=2, dtype="float64",
+                          **kw)
+
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+        ref = solve_heat(HP.pure_diffusion(17), t_final=0.02, n_steps=10,
+                         cfg=self._cfg())
+        ck = CheckpointManager(tmp_path / "ck")
+        # phase 1: only the first half (simulates preemption after step 5)
+        solve_heat(HP.pure_diffusion(17), t_final=0.01, n_steps=5,
+                   cfg=self._cfg(), checkpoint=ck, checkpoint_every=5)
+        assert ck.latest_step() == 5
+        # phase 2: same dt, full horizon -> resumes at 5, runs 5 more
+        res = solve_heat(HP.pure_diffusion(17), t_final=0.02, n_steps=10,
+                         cfg=self._cfg(), checkpoint=ck, checkpoint_every=5)
+        assert ck.latest_step() == 10
+        assert res.t == pytest.approx(0.02, abs=1e-12)
+        np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u),
+                                   rtol=0, atol=0)
+
+    def test_bdf2_resume_keeps_two_step_history(self, tmp_path):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+        ref = solve_heat(HP.pure_diffusion(17), t_final=0.02, n_steps=10,
+                         cfg=self._cfg("bdf2"))
+        ck = CheckpointManager(tmp_path / "ck")
+        solve_heat(HP.pure_diffusion(17), t_final=0.008, n_steps=4,
+                   cfg=self._cfg("bdf2"), checkpoint=ck, checkpoint_every=2)
+        res = solve_heat(HP.pure_diffusion(17), t_final=0.02, n_steps=10,
+                         cfg=self._cfg("bdf2"), checkpoint=ck,
+                         checkpoint_every=3)
+        np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u),
+                                   rtol=0, atol=0)
+
+    def test_dt_mismatch_rejected(self, tmp_path):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+        ck = CheckpointManager(tmp_path / "ck")
+        solve_heat(HP.pure_diffusion(17), t_final=0.01, n_steps=5,
+                   cfg=self._cfg(), checkpoint=ck)
+        with pytest.raises(ValueError, match="dt"):
+            solve_heat(HP.pure_diffusion(17), t_final=0.02, n_steps=7,
+                       cfg=self._cfg(), checkpoint=ck)
+
+    def test_save_every_alignment_enforced(self, tmp_path):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+        ck = CheckpointManager(tmp_path / "ck")
+        with pytest.raises(ValueError, match="multiple of save_every"):
+            solve_heat(HP.pure_diffusion(17), t_final=0.02, n_steps=10,
+                       cfg=self._cfg(save_every=2), checkpoint=ck,
+                       checkpoint_every=5)
+
+    def test_save_every_across_chunks(self, tmp_path):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+        cfg = self._cfg(save_every=2)
+        ref = solve_heat(HP.pure_diffusion(17), t_final=0.02, n_steps=10,
+                         cfg=cfg)
+        ck = CheckpointManager(tmp_path / "ck")
+        res = solve_heat(HP.pure_diffusion(17), t_final=0.02, n_steps=10,
+                         cfg=cfg, checkpoint=ck, checkpoint_every=4)
+        assert len(res.saved) == len(ref.saved) == 5
+        for (ta, ua), (tb, ub) in zip(res.saved, ref.saved):
+            assert ta == pytest.approx(tb)
+            np.testing.assert_allclose(ua, ub, rtol=0, atol=0)

@@ -240,3 +240,22 @@ class Test3DSharding:
         assert info_sh["iterations"] == info_ref["iterations"]
         np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
                                    rtol=0, atol=1e-11)
+
+    def test_sharded_heat3d_matches_single(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device mesh")
+        from mixed_precision_multigrid_solvers_for_pdes_tpu import parallel
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat3d import (
+            HeatConfig, pure_diffusion3d, solve_heat3d,
+        )
+
+        mesh = parallel.make_mesh(jax.devices()[:8], shape=(2, 4))
+        cfg = HeatConfig(scheme="crank_nicolson", cycles_per_step=2,
+                         dtype="float64", mg=CFG)
+        prob = pure_diffusion3d(17)
+        ref = solve_heat3d(prob, t_final=0.01, dt=0.002, cfg=cfg)
+        sh = solve_heat3d(pure_diffusion3d(17), t_final=0.01, dt=0.002,
+                          cfg=cfg, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(sh["u"]), np.asarray(ref["u"]),
+                                   rtol=0, atol=1e-12)
+        assert sh["errors"]["l2"] < 5e-3

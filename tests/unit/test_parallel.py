@@ -164,6 +164,51 @@ class TestExplicitHalo:
         assert float(got) == pytest.approx(float(ref), rel=1e-12)
 
 
+class TestShardedHeat:
+    """Sharded time stepping: the whole scan runs SPMD over the mesh and must
+    reproduce the single-device trajectory (the reference's multi-GPU path
+    was steady-state only, reference gpu/multi_gpu_solver.py:244)."""
+
+    def _problem(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+            heat_problems as HP,
+        )
+        return HP.pure_diffusion(65)
+
+    def _cfg(self, scheme):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
+            HeatConfig,
+        )
+        return HeatConfig(scheme=scheme, cycles_per_step=2, dtype="float64",
+                          mg=CFG)
+
+    @pytest.mark.parametrize("scheme", ["crank_nicolson", "bdf2", "explicit"])
+    def test_matches_single_device(self, mesh, scheme):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
+            solve_heat,
+        )
+        dt = 0.002 if scheme != "explicit" else None
+        kw = dict(t_final=0.01, dt=dt)
+        if scheme == "explicit":
+            kw = dict(t_final=2e-4, n_steps=5)
+        res_ref = solve_heat(self._problem(), cfg=self._cfg(scheme), **kw)
+        res_sh = solve_heat(self._problem(), cfg=self._cfg(scheme),
+                            mesh=mesh, **kw)
+        assert res_sh.steps == res_ref.steps
+        np.testing.assert_allclose(
+            np.asarray(res_sh.u), np.asarray(res_ref.u), rtol=0, atol=1e-12)
+        # and the trajectory is actually accurate, not just consistent
+        assert res_sh.errors["l2"] < 5e-3
+
+    def test_output_is_sharded(self, mesh):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
+            solve_heat,
+        )
+        res = solve_heat(self._problem(), t_final=0.004, dt=0.002,
+                         cfg=self._cfg("crank_nicolson"), mesh=mesh)
+        assert len(res.u.sharding.device_set) == 8
+
+
 class TestDryrun:
     def test_graft_entry_dryrun(self):
         import importlib.util
