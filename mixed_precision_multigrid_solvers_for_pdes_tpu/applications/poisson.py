@@ -47,6 +47,7 @@ def solve_poisson(
     precision: Any = "fp32",
     cfg: MultigridConfig = MultigridConfig(smoother="rbgs", omega=1.0),
     use_fmg: bool = False,
+    mesh=None,
 ) -> PoissonResult:
     """Solve ``A u = f`` for a models.problems.Problem.
 
@@ -56,11 +57,28 @@ def solve_poisson(
                              float64 outer residual via iterative refinement.
       'adaptive'           — staged promotion (solvers.refinement.adaptive_solve).
       a PrecisionPolicy    — used directly.
-    """
+
+    ``mesh`` (jax.sharding.Mesh) runs the solve SPMD over the device mesh in
+    EVERY precision mode — uniform, mixed/IR, and adaptive — with per-level
+    block-partition constraints (coarse levels replicate below the tile
+    threshold)."""
     if isinstance(precision, PrecisionPolicy):
         pol = precision
     else:
         pol = make_policy(precision) if isinstance(precision, str) else make_policy("fp32")
+
+    constrain = None
+    if mesh is not None:
+        from ..parallel import distributed as dist_mod
+        constrain = dist_mod.make_constrainer(mesh)
+
+    def _shard(*arrays):
+        if mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from ..parallel import distributed as dist_mod
+        sh = dist_mod._sharding_fn(mesh)(mesh, problem.grid)
+        out = tuple(jax.device_put(a, sh) for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     t0 = time.perf_counter()
     if pol.mode == Precision.ADAPTIVE:
@@ -68,16 +86,17 @@ def solve_poisson(
             problem.grid, problem.spec, problem.rhs(jnp.float64),
             problem.initial_guess(jnp.float64),
             a=problem.a, lam=problem.lam, domain=problem.domain,
-            policy=pol, cfg=cfg,
+            policy=pol, cfg=cfg, mesh=mesh,
         )
     elif pol.mode == Precision.MIXED:
         levels = mg_mod.build_hierarchy(
             problem.grid, problem.spec, a=problem.a, lam=problem.lam,
             domain=problem.domain, policy=pol, cfg=cfg,
         )
+        f64, u64 = _shard(problem.rhs(jnp.float64),
+                          problem.initial_guess(jnp.float64))
         u, info = refinement.ir_solve(
-            levels, problem.rhs(jnp.float64), problem.initial_guess(jnp.float64),
-            cfg, inner_cycles=2,
+            levels, f64, u64, cfg, inner_cycles=2, constrain=constrain,
         )
     else:
         dt = pol.mode.dtype
@@ -87,14 +106,15 @@ def solve_poisson(
         )
         if dt == jnp.float32 and cfg.tol < 1e-6:
             # fp32 cycles cannot reach below ~1e-7 relative; wrap in IR
+            f64, u64 = _shard(problem.rhs(jnp.float64),
+                              problem.initial_guess(jnp.float64))
             u, info = refinement.ir_solve(
-                levels, problem.rhs(jnp.float64),
-                problem.initial_guess(jnp.float64), cfg, inner_cycles=2,
+                levels, f64, u64, cfg, inner_cycles=2, constrain=constrain,
             )
         else:
+            fd, ud = _shard(problem.rhs(dt), problem.initial_guess(dt))
             u, info = mg_mod.mg_solve(
-                levels, problem.rhs(dt), problem.initial_guess(dt), cfg,
-                use_fmg=use_fmg,
+                levels, fd, ud, cfg, use_fmg=use_fmg, constrain=constrain,
             )
     jax.block_until_ready(u)
     dt_solve = time.perf_counter() - t0

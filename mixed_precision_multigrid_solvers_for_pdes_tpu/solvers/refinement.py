@@ -36,9 +36,9 @@ from .multigrid import MultigridConfig, convergence_factor
 
 
 @partial(jax.jit, static_argnames=("cfg", "inner_cycles", "max_outer",
-                                   "use_fmg"))
+                                   "use_fmg", "constrain"))
 def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
-            max_outer: int, use_fmg: bool = False):
+            max_outer: int, use_fmg: bool = False, constrain=None):
     lev0 = levels[0]
     unknown = lev0.unknown
     sync0 = lev0.sync
@@ -56,10 +56,14 @@ def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
         jnp.asarray(cfg.rtol), cfg.tol * jnp.maximum(scale, 1e-300), cfg.tol
     )
 
+    _pin = (lambda v: constrain(v, lev0)) if constrain is not None \
+        else (lambda v: v)
+    u = _pin(u)
     if use_fmg:
         # FMG gives a discretization-accurate start (~1.5 cycles of work),
         # typically saving one-or-two outer refinements
-        u = u + mg_mod.fmg(levels, f.astype(lo), cfg).astype(jnp.float64)
+        u = u + mg_mod.fmg(levels, f.astype(lo), cfg,
+                           constrain=constrain).astype(jnp.float64)
 
     r0 = st_mod.residual(st_hi, u, f, unknown, sync0)
     rnorm0 = norms.scaled_l2(r0, hx, hy)
@@ -77,8 +81,8 @@ def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
         e = jnp.zeros(lev0.grid.shape_padded, lo)
         r_lo = r.astype(lo)
         for _ in range(inner_cycles):
-            e = mg_mod.mg_cycle(levels, e, r_lo, cfg)
-        u = jnp.where(unknown, u + e.astype(jnp.float64), u)
+            e = mg_mod.mg_cycle(levels, e, r_lo, cfg, constrain)
+        u = _pin(jnp.where(unknown, u + e.astype(jnp.float64), u))
         r = st_mod.residual(st_hi, u, f, unknown, sync0)
         rnorm = norms.scaled_l2(r, hx, hy)
         hist = hist.at[k + 1].set(rnorm)
@@ -104,19 +108,22 @@ def ir_solve(
     inner_cycles: int = 1,
     max_outer: int = 100,
     use_fmg: bool = False,
+    constrain=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Solve A u = f to fp64 accuracy with low-precision multigrid cycles.
 
     ``levels`` is a low-precision hierarchy (fp32/bf16/mixed); the fine-level
     operator is re-materialized in float64 for the outer residual.
-    ``use_fmg`` starts from a full-multigrid initial guess.
+    ``use_fmg`` starts from a full-multigrid initial guess. ``constrain``
+    threads per-level sharding constraints through the inner cycles AND the
+    fp64 outer state (see parallel.distributed.make_constrainer).
     """
     lev0 = levels[0]
     if u0 is None:
         u0 = jnp.zeros(lev0.grid.shape_padded, jnp.float64)
     st_hi = lev0.stencil.astype(jnp.float64)
     u, packed = _ir_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer,
-                        use_fmg)
+                        use_fmg, constrain)
     out = mg_mod._unpack_info(np.asarray(packed))
     out["method"] = "iterative_refinement"
     return u, out
@@ -138,6 +145,7 @@ def adaptive_solve(
     cfg: MultigridConfig = MultigridConfig(),
     start: Precision = Precision.FP32,
     chunk: int = 5,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Adaptive-precision solve: run cycle chunks, promote on policy triggers.
 
@@ -147,6 +155,15 @@ def adaptive_solve(
     refinement if the final stage's epsilon cannot reach ``cfg.tol``.
     """
     stage_idx = _STAGE_ORDER.index(start)
+    constrain = None
+    if mesh is not None:
+        from ..parallel import distributed as dist_mod
+        from ..parallel import mesh as mesh_mod
+        constrain = dist_mod.make_constrainer(mesh)
+        sh = dist_mod._sharding_fn(mesh)(mesh, grid)
+        f = jax.device_put(f, sh)
+        if u0 is not None:
+            u0 = jax.device_put(u0, sh)
     hierarchies: Dict[Precision, Any] = {}
     history: list = []
     switches: list = []
@@ -173,7 +190,8 @@ def adaptive_solve(
         stage_tol = max(cfg.tol, 20.0 * eps)
         levels = get_levels(p)
         stage_cfg = cfg.replace(tol=stage_tol, max_iterations=chunk)
-        u, info = mg_mod.mg_solve(levels, f, u, stage_cfg)
+        u, info = mg_mod.mg_solve(levels, f, u, stage_cfg,
+                                  constrain=constrain)
         history.extend(info["history"][1:].tolist())
         segments.append((p.value, "cycle", info["history"]))
         total_iters += info["iterations"]
@@ -201,6 +219,7 @@ def adaptive_solve(
                     u, info = ir_solve(
                         levels, f, u64, cfg,
                         max_outer=max(1, cfg.max_iterations - total_iters),
+                        constrain=constrain,
                     )
                     history.extend(info["history"][1:].tolist())
                     segments.append(("ir", "ir_outer", info["history"]))

@@ -209,6 +209,26 @@ class TestShardedHeat:
         assert len(res.u.sharding.device_set) == 8
 
 
+class TestShardedFrontend:
+    """solve_poisson(mesh=...) must match the unsharded result in every
+    precision mode (uniform / mixed-IR / adaptive)."""
+
+    @pytest.mark.parametrize("precision", ["fp64", "mixed", "adaptive"])
+    def test_matches_single_device(self, mesh, precision):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.poisson import (
+            solve_poisson,
+        )
+        cfg = CFG.replace(tol=1e-8)
+        ref = solve_poisson(P.poisson_mms_sinsin(65), precision=precision,
+                            cfg=cfg)
+        sh = solve_poisson(P.poisson_mms_sinsin(65), precision=precision,
+                           cfg=cfg, mesh=mesh)
+        assert sh.converged and ref.converged
+        assert sh.iterations == ref.iterations
+        np.testing.assert_allclose(np.asarray(sh.u), np.asarray(ref.u),
+                                   rtol=0, atol=1e-11)
+
+
 class TestDryrun:
     def test_graft_entry_dryrun(self):
         import importlib.util
