@@ -24,15 +24,21 @@ def multigrid_preconditioner(
     cfg: MultigridConfig = MultigridConfig(smoother="rbgs", omega=1.0),
     *,
     cycles: int = 1,
+    constrain=None,
 ) -> Callable:
-    """z = (approx A^{-1}) r via ``cycles`` V/W-cycles from a zero guess."""
+    """z = (approx A^{-1}) r via ``cycles`` V/W-cycles from a zero guess.
+
+    ``constrain`` threads per-level sharding constraints through the cycles
+    (parallel.distributed.make_constrainer) so MG-preconditioned Krylov runs
+    SPMD over a device mesh — the Krylov loop itself is whole-array ops whose
+    sharding XLA propagates from the inputs."""
     lev0 = levels[0]
 
     def apply(r):
         z = jnp.zeros(lev0.grid.shape_padded, r.dtype)
         rl = r.astype(lev0.dtype)
         for _ in range(cycles):
-            z = mg_mod.mg_cycle(levels, z, rl, cfg)
+            z = mg_mod.mg_cycle(levels, z, rl, cfg, constrain)
         return z.astype(r.dtype)
 
     return apply

@@ -229,6 +229,40 @@ class TestShardedFrontend:
                                    rtol=0, atol=1e-11)
 
 
+class TestShardedKrylov:
+    def test_mg_preconditioned_pcg_matches_single_device(self, mesh):
+        """MG-preconditioned CG over sharded inputs: the Krylov loop's
+        whole-array ops propagate the input sharding; the preconditioner
+        cycles carry explicit per-level constraints."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.preconditioning import (
+            multigrid_preconditioner,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import krylov
+
+        prob = P.poisson_mms_sinsin(65)
+        cfg = CFG.replace(cycle="V", pre_sweeps=2, post_sweeps=2,
+                          symmetric=True)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=cfg)
+        lev0 = levels[0]
+        mv = krylov.stencil_matvec(lev0.stencil, lev0.unknown, lev0.sync)
+        f = prob.rhs(jnp.float64)
+
+        M_ref = multigrid_preconditioner(levels, cfg)
+        u_ref, info_ref = krylov.pcg(mv, f, precond=M_ref, tol=1e-10,
+                                     maxiter=30)
+
+        con = parallel.make_constrainer(mesh)
+        M_sh = multigrid_preconditioner(levels, cfg, constrain=con)
+        f_sh = parallel.shard_inputs(mesh, levels, f)
+        u_sh, info_sh = krylov.pcg(mv, f_sh, precond=M_sh, tol=1e-10,
+                                   maxiter=30)
+        assert info_sh["converged"]
+        assert info_sh["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
+
+
 class TestDryrun:
     def test_graft_entry_dryrun(self):
         import importlib.util
