@@ -209,6 +209,24 @@ class TestShardedHeat:
         assert len(res.u.sharding.device_set) == 8
 
 
+class TestShardedLineSmoothers:
+    def test_adi_sharded_matches_single_device(self, mesh):
+        """ADI/line smoothing uses PCR tridiagonal solves along full grid
+        lines; under GSPMD a line crosses device boundaries, so XLA inserts
+        the collectives. Must match the single-device solve."""
+        prob = P.poisson_mms_anisotropic(65, ay=0.01)
+        cfg = MultigridConfig(smoother="adi", backend="xla", tol=1e-10)
+        levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                    dtype="float64", cfg=cfg)
+        f = prob.rhs(jnp.float64)
+        u_ref, info_ref = mg.mg_solve(levels, f, None, cfg)
+        u_sh, info_sh = parallel.sharded_solve(mesh, levels, f, cfg=cfg)
+        assert info_sh["converged"]
+        assert info_sh["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
+
+
 class TestShardedFrontend:
     """solve_poisson(mesh=...) must match the unsharded result in every
     precision mode (uniform / mixed-IR / adaptive)."""
