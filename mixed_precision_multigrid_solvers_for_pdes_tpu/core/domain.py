@@ -42,9 +42,15 @@ class LShapedDomain:
         """Padded bool mask: True where the node belongs to the open domain
         (solver may own it, subject to the outer BC mask)."""
         px, py = grid.shape_padded
-        x0, _, y0, _ = grid.domain
         i = jax.lax.broadcasted_iota(jnp.int32, (px, py), 0)
         j = jax.lax.broadcasted_iota(jnp.int32, (px, py), 1)
+        return self.interior_mask_at(grid, i, j)
+
+    def interior_mask_at(self, grid: Grid, i, j):
+        """Mask evaluated at arbitrary global index arrays (i, j) — lets
+        sharded layouts (parallel/halo_solve.py) build block-local masks
+        from iota + axis_index without materializing the global mask."""
+        x0, _, y0, _ = grid.domain
         X = x0 + grid.hx * i.astype(jnp.float64)
         Y = y0 + grid.hy * j.astype(jnp.float64)
         removed = (X >= self.x_cut - _TOL) & (Y >= self.y_cut - _TOL)

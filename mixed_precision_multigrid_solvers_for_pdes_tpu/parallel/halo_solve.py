@@ -219,11 +219,15 @@ def _gidx(bx: int, by: int, *, ext: bool = False):
     return gi, gj
 
 
-def _block_unknown(spec, nx: int, ny: int, gi, gj):
+def _block_unknown(spec, nx: int, ny: int, gi, gj, domain=None, grid=None):
     """bc_mod.unknown_mask semantics from global indices (Dirichlet sides
     exclude the ring; Neumann/Robin rings are unknowns; periodic axes own
-    the unique nodes 0..n-2 — which is the whole halo-layout extent)."""
+    the unique nodes 0..n-2 — which is the whole halo-layout extent).
+    ``domain`` restricts to an irregular DomainSpec's interior (cut nodes are
+    Dirichlet-fixed, core/domain.py)."""
     mask = (gi < nx) & (gj < ny) & (gi >= 0) & (gj >= 0)
+    if domain is not None:
+        mask &= domain.interior_mask_at(grid, gi, gj)
     if spec.west.kind == BCKind.PERIODIC:
         mask &= gi < nx - 1
     else:
@@ -484,10 +488,6 @@ def halo_solve(
         raise NotImplementedError(
             "halo_solve: blockwise transfers implement full_weighting + "
             "bilinear only (the GSPMD path covers the rest)")
-    if any(lev.domain is not None for lev in levels):
-        raise NotImplementedError(
-            "halo_solve: irregular domains take the GSPMD path "
-            "(_block_unknown has no DomainSpec branch yet)")
     if u0 is None:
         u0 = jnp.zeros(lev0.grid.shape_padded, lev0.dtype)
 
@@ -518,7 +518,7 @@ def _halo_solve_jit(mesh, levels, plan, f, u0, cfg, overlap):
     sten_leaves = _flatten_stencils(sten)
     meta = tuple(
         (lev.grid, lev.spec, np.dtype(lev.dtype),
-         isinstance(lev.stencil, Stencil9))
+         isinstance(lev.stencil, Stencil9), lev.domain)
         for lev in levels
     )
     u_out_h, packed = _halo_solve_core(
@@ -544,7 +544,7 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
     sten_traced = _rebuild_stencils(sten_leaves, is9_flags)
     levels = tuple(
         Level(stencil=sten_traced[l], grid=meta[l][0], spec=meta[l][1],
-              dtype=meta[l][2])
+              dtype=meta[l][2], domain=meta[l][4])
         for l in range(n_lev))
 
     # per-leaf specs: sharded-level array leaves P('x','y'), rest replicated
@@ -572,7 +572,7 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
                 bx, by = plan.blocks[l]
                 gi, gj = _gidx(bx, by)
                 unknown = _block_unknown(lev.spec, lev.grid.nx, lev.grid.ny,
-                                         gi, gj)
+                                         gi, gj, lev.domain, lev.grid)
             else:
                 unknown = lev.unknown
             return lev, sten[l], unknown
@@ -610,7 +610,8 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
                 bxc, byc = plan.blocks[l + 1]
                 gi, gj = _gidx(bxc, byc)
                 unknown_c = _block_unknown(lev_c.spec, lev_c.grid.nx,
-                                           lev_c.grid.ny, gi, gj)
+                                           lev_c.grid.ny, gi, gj,
+                                           lev_c.domain, lev_c.grid)
                 return _restrict_block(r, lev_f, lev_c, mx, my, unknown_c,
                                        bxc, byc, wx, wy)
             if l < S:           # sharded -> replicated (agglomeration)

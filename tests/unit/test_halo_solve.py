@@ -123,6 +123,25 @@ class TestHaloSolveMatchesGSPMD:
                                    rtol=0, atol=1e-5)
 
 
+    def test_l_shaped_domain(self, mesh):
+        """Irregular (masked) domains on the explicit path: block-local
+        unknown masks include the DomainSpec interior (cut nodes are
+        Dirichlet-fixed); must match GSPMD."""
+        prob = P.l_shaped_problem(65)
+        levels = mg.build_hierarchy(prob.grid, prob.spec,
+                                    domain=prob.domain, dtype="float64",
+                                    cfg=CFG)
+        f = prob.rhs(jnp.float64)
+        u0 = prob.initial_guess(jnp.float64)
+        u_ref, info_ref = parallel.sharded_solve(mesh, levels, f, u0, cfg=CFG)
+        u_h, info_h = halo_solve.halo_solve(mesh, levels, f, u0, cfg=CFG)
+        assert info_h["converged"]
+        assert info_h["iterations"] == info_ref["iterations"]
+        np.testing.assert_allclose(np.asarray(u_h), np.asarray(u_ref),
+                                   rtol=0, atol=1e-11)
+        assert prob.error_norms(u_h)["l2"] < 5e-3
+
+
 class TestHaloSolveVariants:
     def test_overlap_off_matches_on(self, mesh):
         """Interior-first overlap changes scheduling, not numerics."""
