@@ -143,7 +143,8 @@ def convergence_study(
 ) -> Dict[str, Any]:
     """h-refinement study: solve on a grid ladder, fit the observed order.
 
-    Returns {'sizes', 'h', 'l2', 'linf', 'order_l2', 'order_linf', 'iterations'}
+    Returns {'sizes', 'h', 'l2', 'linf', 'h1', 'order_l2', 'order_linf',
+    'order_h1', 'iterations'}
     (reference poisson_solver.py:315-396, mms_validation.py:279-553)."""
     rows = []
     for n in sizes:
@@ -159,15 +160,18 @@ def convergence_study(
     h = np.array([r["h"] for r in rows])
     l2 = np.array([r["l2"] for r in rows])
     linf = np.array([r["linf"] for r in rows])
+    h1 = np.array([r.get("h1", np.nan) for r in rows])
     pairwise = list(np.log(l2[:-1] / l2[1:]) / np.log(h[:-1] / h[1:]))
     return {
         "sizes": list(sizes),
         "h": h,
         "l2": l2,
         "linf": linf,
+        "h1": h1,
         "iterations": [r["iterations"] for r in rows],
         "converged": all(r["converged"] for r in rows),
         "order_l2": observed_order(h, l2),
         "order_linf": observed_order(h, linf),
+        "order_h1": observed_order(h[np.isfinite(h1)], h1[np.isfinite(h1)]),
         "pairwise_orders": pairwise,
     }

@@ -81,9 +81,9 @@ class Problem:
         return u0
 
     def error_norms(self, u) -> Dict[str, float]:
-        """L2 (grid-scaled) and Linf error vs the exact solution
-        (reference poisson_solver.py:281-313). For irregular domains the
-        error counts open-domain nodes only."""
+        """L2 (grid-scaled), Linf, and H1-seminorm error vs the exact
+        solution (reference poisson_solver.py:281-313). For irregular
+        domains the error counts open-domain nodes only."""
         if self.exact is None:
             raise ValueError(f"problem {self.name!r} has no exact solution")
         g = self.grid
@@ -94,6 +94,7 @@ class Problem:
         return {
             "l2": float(norms.scaled_l2(diff, g.hx, g.hy)),
             "linf": float(jnp.max(jnp.abs(diff))),
+            "h1": float(norms.h1_seminorm(diff, mask, g.hx, g.hy)),
         }
 
 

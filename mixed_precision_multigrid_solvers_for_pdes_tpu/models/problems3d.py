@@ -12,6 +12,7 @@ import numpy as np
 from ..core.bc import BCKind
 from ..core.bc3d import BoundarySpec3D, SIDES3D
 from ..core.grid3d import Grid3D
+from ..ops import norms
 from ..ops import stencil3d as st3
 
 PI = np.pi
@@ -63,6 +64,7 @@ class Problem3D:
         return {
             "l2": float(jnp.sqrt(g.hx * g.hy * g.hz * jnp.sum(diff * diff))),
             "linf": float(jnp.max(jnp.abs(diff))),
+            "h1": float(norms.h1_seminorm3d(diff, mask, g.hx, g.hy, g.hz)),
         }
 
 

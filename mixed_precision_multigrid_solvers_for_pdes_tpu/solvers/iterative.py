@@ -41,6 +41,25 @@ def optimal_weighted_jacobi_omega(nx: int, ny: int) -> float:
     return 2.0 / (1.0 + math.sqrt(max(1.0 - rho * rho, 0.0)))
 
 
+def laplacian_eigenvalues_1d(n: int, h: float) -> np.ndarray:
+    """Exact eigenvalues (4/h^2) sin^2(pi k / (2(n-1))), k=1..n-2, of the 1D
+    Dirichlet 5-point Laplacian (reference operators/laplacian.py:126-139)."""
+    k = np.arange(1, n - 1)
+    return (4.0 / h**2) * np.sin(np.pi * k / (2 * (n - 1))) ** 2
+
+
+def laplacian_condition_number(nx: int, ny: int, hx: float, hy: float) -> float:
+    """Exact 2-norm condition number lambda_max/lambda_min of the 2D Dirichlet
+    5-point Laplacian — tensor-sum spectrum, so the extremes are the sums of
+    the 1D extremes (reference operators/laplacian.py:141-158 estimates this
+    as O(h^-2); this is the exact value)."""
+    ex = laplacian_eigenvalues_1d(nx, hx)
+    ey = laplacian_eigenvalues_1d(ny, hy)
+    lmin = ex[0] + ey[0]
+    lmax = ex[-1] + ey[-1]
+    return float(lmax / lmin)
+
+
 @partial(jax.jit, static_argnames=("method", "check_every", "max_sweeps"))
 def _iter_jit(stencil, unknown, hx, hy, u0, f, omega, tol, *,
               method: str, check_every: int, max_sweeps: int):

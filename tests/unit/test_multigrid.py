@@ -44,14 +44,23 @@ def test_rbgs_convergence_factor():
 
 def test_grid_convergence_order_two():
     errors = {}
+    h1 = {}
     for n in (17, 33, 65):
         prob = P.poisson_mms_sinsin(n)
         u, info = _solve(prob, CFG_RBGS)
         assert info["converged"]
-        errors[n] = prob.error_norms(u)["l2"]
+        e = prob.error_norms(u)
+        errors[n] = e["l2"]
+        h1[n] = e["h1"]
     order1 = np.log2(errors[17] / errors[33])
     order2 = np.log2(errors[33] / errors[65])
     assert 1.8 < order1 < 2.2 and 1.8 < order2 < 2.2
+    # Discrete H1-seminorm of the nodal error also superconverges at O(h^2)
+    # for the 5-point scheme on smooth solutions (the nodal error is
+    # h^2*phi(x,y) with smooth phi).
+    h1_order = np.log2(h1[33] / h1[65])
+    assert 1.7 < h1_order < 2.3
+    assert h1[65] > 0.0
 
 
 def test_h_independent_iterations():

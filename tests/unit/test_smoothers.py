@@ -205,3 +205,43 @@ def test_smooth_many_sweeps_fori_loop_path():
     for _ in range(8):
         u_unrolled = sm.jacobi_sweep(st, u_unrolled, f, unknown, 0.8)
     np.testing.assert_allclose(np.asarray(u_loop), np.asarray(u_unrolled), rtol=1e-12)
+
+
+def test_laplacian_spectrum_helpers():
+    """Exact 1D eigenvalues match dense eig; condition number ~ (2/(pi h))^2."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.iterative import (
+        laplacian_condition_number,
+        laplacian_eigenvalues_1d,
+    )
+
+    n, h = 17, 1.0 / 16
+    ev = laplacian_eigenvalues_1d(n, h)
+    m = n - 2
+    A = (np.diag(2 * np.ones(m)) - np.diag(np.ones(m - 1), 1)
+         - np.diag(np.ones(m - 1), -1)) / h**2
+    dense = np.sort(np.linalg.eigvalsh(A))
+    np.testing.assert_allclose(np.sort(ev), dense, rtol=1e-12)
+
+    kappa = laplacian_condition_number(n, n, h, h)
+    # kappa = cot^2(pi h / 2) -> (2/(pi h))^2 as h -> 0
+    approx = (2.0 / (np.pi * h)) ** 2
+    assert 0.8 * approx < kappa < 1.05 * approx
+
+
+def test_h1_seminorm_masks_padding():
+    """h1_seminorm counts only edges with both endpoints valid."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import norms
+
+    n = 17
+    h = 1.0 / (n - 1)
+    x = np.linspace(0.0, 1.0, n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    e = np.sin(np.pi * X) * np.sin(np.pi * Y)
+    # pad with garbage; mask marks the logical region only
+    ep = np.full((n + 7, n + 7), 1e6)
+    ep[:n, :n] = e
+    mask = np.zeros_like(ep, bool)
+    mask[:n, :n] = True
+    v = float(norms.h1_seminorm(jnp.asarray(ep), jnp.asarray(mask), h, h))
+    # analytic |e|_H1 = pi/sqrt(2); FD value converges from below
+    assert abs(v - np.pi / np.sqrt(2)) < 0.05
