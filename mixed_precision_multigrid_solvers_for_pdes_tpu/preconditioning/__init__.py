@@ -18,4 +18,7 @@ from .base import (  # noqa: F401
 from .chebyshev import chebyshev  # noqa: F401
 from .diagonal import block_line, diagonal, scaled_diagonal  # noqa: F401
 from .ilu import ILUKPreconditioner, ILUPreconditioner  # noqa: F401
-from .multigrid_preconditioner import multigrid_preconditioner  # noqa: F401
+from .multigrid_preconditioner import (  # noqa: F401
+    multigrid_preconditioner,
+    multigrid_preconditioner3d,
+)

@@ -42,3 +42,28 @@ def multigrid_preconditioner(
         return z.astype(r.dtype)
 
     return apply
+
+
+def multigrid_preconditioner3d(
+    levels,
+    cfg: MultigridConfig = MultigridConfig(smoother="rbgs", omega=1.0),
+    *,
+    cycles: int = 1,
+    constrain=None,
+) -> Callable:
+    """3D analogue of :func:`multigrid_preconditioner`: z = (approx A^{-1}) r
+    via 3D V/W-cycles from a zero guess (pair with
+    ``solvers.krylov.stencil_matvec3d``). The reference had no 3D solver at
+    all (reference applications/poisson_solver.py:483-557 is a stub)."""
+    from ..solvers import multigrid3d as mg3
+
+    lev0 = levels[0]
+
+    def apply(r):
+        z = jnp.zeros(lev0.grid.shape_padded, r.dtype)
+        rl = r.astype(lev0.dtype)
+        for _ in range(cycles):
+            z = mg3.mg_cycle3d(levels, z, rl, cfg, constrain)
+        return z.astype(r.dtype)
+
+    return apply

@@ -43,6 +43,20 @@ def stencil_matvec(stencil, unknown, sync=None):
     return mv
 
 
+def stencil_matvec3d(stencil, unknown, sync=None):
+    """3D analogue of :func:`stencil_matvec` (7/27-point Stencil3D operators).
+    The Krylov loops themselves are shape-agnostic whole-array ops, so this
+    is the only 3D-specific piece they need."""
+    from ..ops import stencil3d as st3
+
+    def mv(x):
+        if sync is not None:
+            x = sync(x)
+        return jnp.where(unknown, st3.apply(stencil, x), jnp.zeros((), x.dtype))
+
+    return mv
+
+
 @partial(jax.jit, static_argnames=("matvec", "precond", "maxiter"))
 def _pcg_jit(matvec, precond, b, x0, tol, maxiter: int):
     x = x0

@@ -259,3 +259,34 @@ class Test3DSharding:
         np.testing.assert_allclose(np.asarray(sh["u"]), np.asarray(ref["u"]),
                                    rtol=0, atol=1e-12)
         assert sh["errors"]["l2"] < 5e-3
+
+
+class TestKrylov3D:
+    def test_mg_preconditioned_cg_3d(self):
+        """3D MG-preconditioned CG: symmetric V-cycles keep the operator SPD;
+        converges in a handful of iterations and hits O(h^2) accuracy
+        (the reference had no 3D solver at all, poisson_solver.py:483-557)."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.preconditioning import (
+            multigrid_preconditioner3d,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import krylov
+
+        # varcoef: broad spectrum (sin*sin*sin is a Laplacian eigenvector and
+        # would make plain CG converge in one step)
+        prob = P3.varcoef3d_mms(33)
+        cfg = CFG.replace(symmetric=True)
+        levels = mg3.build_hierarchy3d(prob.grid, prob.spec, a=prob.a,
+                                       lam=prob.lam, dtype="float64", cfg=cfg)
+        lev0 = levels[0]
+        mv = krylov.stencil_matvec3d(lev0.stencil, lev0.unknown)
+        M = multigrid_preconditioner3d(levels, cfg)
+        f = jnp.where(lev0.unknown, prob.rhs(jnp.float64), 0.0)
+
+        u_plain, info_plain = krylov.pcg(mv, f, tol=1e-10, maxiter=500)
+        u, info = krylov.pcg(mv, f, precond=M, tol=1e-10, maxiter=50)
+        assert info["converged"], info
+        assert info["iterations"] <= 12
+        assert info["iterations"] < info_plain["iterations"]
+        assert prob.error_norms(u)["l2"] < 5e-3
+        # residual history is real and monotone-ish at the tail
+        assert len(info["history"]) == info["iterations"] + 1
