@@ -95,6 +95,60 @@ class MMSValidator:
         self.results.append(res)
         return res
 
+    # ---- 3D steady problems -------------------------------------------------
+
+    def validate_steady3d(
+        self,
+        factory: Callable[[int], Any],
+        sizes: Sequence[int] = (9, 17, 33),
+        name: Optional[str] = None,
+        expected_order: Optional[float] = None,
+    ) -> MMSResult:
+        """3D convergence study via real mg_solve3d runs. The reference's
+        validator listed 3D trig MMS problems (reference
+        mms_validation.py:183-217) but had no 3D solver to run them."""
+        from ..solvers import multigrid3d as mg3
+
+        t0 = time.perf_counter()
+        errs: List[float] = []
+        h1s: List[float] = []
+        iters: List[int] = []
+        converged = True
+        for n in sizes:
+            prob = factory(n)
+            levels = mg3.build_hierarchy3d(prob.grid, prob.spec, a=prob.a,
+                                           lam=prob.lam, dtype="float64",
+                                           cfg=self.cfg)
+            import jax.numpy as jnp
+
+            u, info = mg3.mg_solve3d(levels, prob.rhs(jnp.float64),
+                                     prob.initial_guess(jnp.float64),
+                                     self.cfg)
+            converged = converged and bool(info["converged"])
+            iters.append(int(info["iterations"]))
+            e = prob.error_norms(u)
+            errs.append(float(e["l2"]))
+            h1s.append(float(e.get("h1", float("nan"))))
+        hs = 1.0 / (np.asarray(sizes, dtype=float) - 1)
+        order = observed_order(hs, np.asarray(errs))
+        h1_order = observed_order(hs, np.asarray(h1s))
+        expect = expected_order if expected_order is not None else self.expected_order
+        res = MMSResult(
+            problem=name or factory(sizes[0]).name,
+            kind="steady_3d",
+            sizes=list(sizes),
+            l2_errors=errs,
+            observed_order=float(order),
+            expected_order=expect,
+            passed=bool(converged
+                        and abs(order - expect) <= self.order_tolerance),
+            iterations=iters,
+            wall_s=time.perf_counter() - t0,
+            h1_order=float(h1_order),
+        )
+        self.results.append(res)
+        return res
+
     # ---- time-dependent problems ------------------------------------------
 
     def validate_heat(
@@ -137,13 +191,15 @@ class MMSValidator:
     # ---- suite driver + report ---------------------------------------------
 
     def run_standard_suite(self, sizes=(17, 33, 65, 129),
-                           heat_sizes=(17, 33, 65)) -> List[MMSResult]:
+                           heat_sizes=(17, 33, 65),
+                           sizes3d=(9, 17, 33)) -> List[MMSResult]:
         """The standard battery (reference mms_validation.py:555-617):
         polynomial/trig/high-frequency/inhomogeneous/exponential steady
         problems + Helmholtz + variable-coefficient (solved for real; the
         reference only simulated those two) + boundary-layer and the two
         singular corner problems (reference test_problems.py:161-295) + two
-        heat problems."""
+        3D problems (real mg_solve3d runs; the reference's 3D MMS rows had
+        no solver behind them) + two heat problems."""
         from ..models import problems as P
 
         for key in ("polynomial", "trigonometric", "high_frequency",
@@ -161,6 +217,11 @@ class MMSValidator:
         self.validate_steady(P.CATALOGUE["l_shaped"], sizes,
                              name="l_shaped",
                              expected_order=4.0 / 3.0, order_tolerance=0.3)
+        from ..models import problems3d as P3
+
+        self.validate_steady3d(P3.poisson3d_mms_sinsinsin, sizes3d,
+                               name="poisson3d")
+        self.validate_steady3d(P3.varcoef3d_mms, sizes3d, name="varcoef3d")
         from ..applications import heat_problems as HP
 
         self.validate_heat(HP.pure_diffusion, heat_sizes, name="heat_pure_diffusion")
