@@ -21,3 +21,7 @@ from .poisson import (  # noqa: F401
     convergence_study,
     solve_poisson,
 )
+from .poisson3d import (  # noqa: F401
+    convergence_study3d,
+    solve_poisson3d,
+)

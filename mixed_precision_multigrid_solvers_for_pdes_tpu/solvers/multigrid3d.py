@@ -342,16 +342,19 @@ def _solve3_jit(levels, f, u0, cfg: MultigridConfig, constrain=None):
     return u, jnp.concatenate([stats, hist])
 
 
-@partial(jax.jit, static_argnames=("cfg", "inner_cycles", "max_outer"))
+@partial(jax.jit, static_argnames=("cfg", "inner_cycles", "max_outer",
+                                   "constrain"))
 def _ir3_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
-             max_outer: int):
+             max_outer: int, constrain=None):
     lev0 = levels[0]
     unknown = lev0.unknown
     sync0 = lev0.sync
     g = lev0.grid
     lo = lev0.dtype
+    _pin = (lambda v: constrain(v, lev0)) if constrain is not None \
+        else (lambda v: v)
     f = f.astype(jnp.float64)
-    u = u0.astype(jnp.float64)
+    u = _pin(u0.astype(jnp.float64))
     fnorm = _norm3(jnp.where(unknown, f, jnp.zeros((), f.dtype)), g)
     rnorm0 = _norm3(st3.residual(st_hi, u, f, unknown, sync0), g)
     tol_eff = jnp.where(
@@ -370,8 +373,8 @@ def _ir3_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
         e = jnp.zeros(g.shape_padded, lo)
         r_lo = r.astype(lo)
         for _ in range(inner_cycles):
-            e = mg_cycle3d(levels, e, r_lo, cfg)
-        u = jnp.where(unknown, u + e.astype(jnp.float64), u)
+            e = mg_cycle3d(levels, e, r_lo, cfg, constrain)
+        u = _pin(jnp.where(unknown, u + e.astype(jnp.float64), u))
         rnorm = _norm3(st3.residual(st_hi, u, f, unknown, sync0), g)
         hist = hist.at[k + 1].set(rnorm)
         return (u, k + 1, rnorm, hist)
@@ -393,14 +396,18 @@ def ir_solve3d(
     *,
     inner_cycles: int = 2,
     max_outer: int = 100,
+    constrain=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """3D mixed-precision solve: fp64 outer residuals over low-precision
-    cycles (3D sibling of solvers.refinement.ir_solve)."""
+    cycles (3D sibling of solvers.refinement.ir_solve). ``constrain``
+    threads 3D sharding constraints through the inner cycles and the fp64
+    outer state (parallel.distributed.make_constrainer3d)."""
     lev0 = levels[0]
     if u0 is None:
         u0 = jnp.zeros(lev0.grid.shape_padded, jnp.float64)
     st_hi = lev0.stencil.astype(jnp.float64)
-    u, packed = _ir3_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer)
+    u, packed = _ir3_jit(levels, st_hi, f, u0, cfg, inner_cycles, max_outer,
+                         constrain)
     from .multigrid import _unpack_info
 
     out = _unpack_info(np.asarray(packed))

@@ -290,3 +290,51 @@ class TestKrylov3D:
         assert prob.error_norms(u)["l2"] < 5e-3
         # residual history is real and monotone-ish at the tail
         assert len(info["history"]) == info["iterations"] + 1
+
+
+class TestPoisson3DFrontend:
+    def test_solve_poisson3d_fp64(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+            solve_poisson3d,
+        )
+        res = solve_poisson3d(P3.poisson3d_mms_sinsinsin(33),
+                              precision="fp64", cfg=CFG)
+        assert res.converged
+        assert res.errors["l2"] < 2e-3
+
+    def test_solve_poisson3d_mixed_reaches_fp64_accuracy(self):
+        """'mixed': fp32 cycles + float64 IR outer reaches tolerances fp32
+        alone cannot (3D sibling of the 2D mixed path)."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+            solve_poisson3d,
+        )
+        cfg = CFG.replace(tol=1e-11)
+        res = solve_poisson3d(P3.poisson3d_mms_sinsinsin(33),
+                              precision="mixed", cfg=cfg)
+        assert res.converged
+        assert res.info["method"] == "iterative_refinement_3d"
+        assert res.info["residual_norm"] <= 1e-11 * max(
+            res.info["rhs_norm"], res.info["initial_residual_norm"])
+
+    def test_solve_poisson3d_sharded_matches_single(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu import parallel
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+            solve_poisson3d,
+        )
+        mesh = parallel.make_mesh(jax.devices()[:8])
+        prob = P3.varcoef3d_mms(17)
+        r1 = solve_poisson3d(prob, precision="fp64", cfg=CFG)
+        r2 = solve_poisson3d(prob, precision="fp64", cfg=CFG, mesh=mesh)
+        assert r2.converged
+        np.testing.assert_allclose(np.asarray(r2.u), np.asarray(r1.u),
+                                   rtol=0, atol=1e-12)
+
+    def test_convergence_study3d_order2(self):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+            convergence_study3d,
+        )
+        st = convergence_study3d(P3.poisson3d_mms_sinsinsin, [9, 17, 33],
+                                 precision="fp64", cfg=CFG)
+        assert st["converged"]
+        assert 1.8 < st["order_l2"] < 2.2
+        assert 1.8 < st["order_h1"] < 2.2
