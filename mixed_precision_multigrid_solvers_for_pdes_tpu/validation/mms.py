@@ -104,47 +104,29 @@ class MMSValidator:
         name: Optional[str] = None,
         expected_order: Optional[float] = None,
     ) -> MMSResult:
-        """3D convergence study via real mg_solve3d runs. The reference's
+        """3D convergence study via real mg_solve3d runs (through
+        applications.poisson3d.convergence_study3d). The reference's
         validator listed 3D trig MMS problems (reference
         mms_validation.py:183-217) but had no 3D solver to run them."""
-        from ..solvers import multigrid3d as mg3
+        from ..applications.poisson3d import convergence_study3d
 
         t0 = time.perf_counter()
-        errs: List[float] = []
-        h1s: List[float] = []
-        iters: List[int] = []
-        converged = True
-        for n in sizes:
-            prob = factory(n)
-            levels = mg3.build_hierarchy3d(prob.grid, prob.spec, a=prob.a,
-                                           lam=prob.lam, dtype="float64",
-                                           cfg=self.cfg)
-            import jax.numpy as jnp
-
-            u, info = mg3.mg_solve3d(levels, prob.rhs(jnp.float64),
-                                     prob.initial_guess(jnp.float64),
-                                     self.cfg)
-            converged = converged and bool(info["converged"])
-            iters.append(int(info["iterations"]))
-            e = prob.error_norms(u)
-            errs.append(float(e["l2"]))
-            h1s.append(float(e.get("h1", float("nan"))))
-        hs = 1.0 / (np.asarray(sizes, dtype=float) - 1)
-        order = observed_order(hs, np.asarray(errs))
-        h1_order = observed_order(hs, np.asarray(h1s))
+        study = convergence_study3d(factory, list(sizes),
+                                    precision=self.precision, cfg=self.cfg)
+        order = study["order_l2"]
         expect = expected_order if expected_order is not None else self.expected_order
         res = MMSResult(
             problem=name or factory(sizes[0]).name,
             kind="steady_3d",
             sizes=list(sizes),
-            l2_errors=errs,
+            l2_errors=[float(e) for e in study["l2"]],
             observed_order=float(order),
             expected_order=expect,
-            passed=bool(converged
+            passed=bool(study["converged"]
                         and abs(order - expect) <= self.order_tolerance),
-            iterations=iters,
+            iterations=study["iterations"],
             wall_s=time.perf_counter() - t0,
-            h1_order=float(h1_order),
+            h1_order=float(study["order_h1"]),
         )
         self.results.append(res)
         return res
