@@ -36,16 +36,14 @@ def solve_poisson3d(
       'fp32'/'fp64'/'bf16' — uniform solve at that dtype.
       'mixed'              — fp32 cycles under float64 iterative refinement
                              (solvers.multigrid3d.ir_solve3d).
+      'adaptive'           — staged promotion
+                             (solvers.refinement.adaptive_solve3d).
 
     ``mesh`` (jax.sharding.Mesh) runs the solve SPMD: (x, y) block-partitioned,
     z kept local (the lane axis and the line-smoother direction stay
     on-device — parallel.mesh.grid_sharding3d)."""
     pol = precision if isinstance(precision, PrecisionPolicy) \
         else make_policy(precision)
-    if pol.mode == Precision.ADAPTIVE:
-        raise NotImplementedError(
-            "solve_poisson3d: adaptive staging is 2D-only for now; use "
-            "precision='mixed' (IR) which covers the same accuracy targets")
 
     constrain = None
     if mesh is not None:
@@ -61,7 +59,15 @@ def solve_poisson3d(
         return out if len(out) > 1 else out[0]
 
     t0 = time.perf_counter()
-    if pol.mode == Precision.MIXED:
+    if pol.mode == Precision.ADAPTIVE:
+        from ..solvers.refinement import adaptive_solve3d
+
+        u, info = adaptive_solve3d(
+            problem.grid, problem.spec, problem.rhs(jnp.float64),
+            problem.initial_guess(jnp.float64),
+            a=problem.a, lam=problem.lam, policy=pol, cfg=cfg, mesh=mesh,
+        )
+    elif pol.mode == Precision.MIXED:
         levels = mg3.build_hierarchy3d(problem.grid, problem.spec,
                                        a=problem.a, lam=problem.lam,
                                        dtype="float32", cfg=cfg)

@@ -154,17 +154,86 @@ def adaptive_solve(
     policy detects stagnation or near-convergence, finish with iterative
     refinement if the final stage's epsilon cannot reach ``cfg.tol``.
     """
-    stage_idx = _STAGE_ORDER.index(start)
     constrain = None
     if mesh is not None:
         from ..parallel import distributed as dist_mod
-        from ..parallel import mesh as mesh_mod
         constrain = dist_mod.make_constrainer(mesh)
         sh = dist_mod._sharding_fn(mesh)(mesh, grid)
         f = jax.device_put(f, sh)
         if u0 is not None:
             u0 = jax.device_put(u0, sh)
+
     hierarchies: Dict[Precision, Any] = {}
+
+    def get_levels(p: Precision):
+        if p not in hierarchies:
+            hierarchies[p] = mg_mod.build_hierarchy(
+                grid, spec, a=a, lam=lam, domain=domain, dtype=p.dtype,
+                cfg=cfg
+            )
+        return hierarchies[p]
+
+    return _adaptive_core(
+        f, u0, get_levels=get_levels, solve=mg_mod.mg_solve, ir=ir_solve,
+        pad_shape=grid.shape_padded, policy=policy, cfg=cfg, start=start,
+        chunk=chunk, constrain=constrain,
+    )
+
+
+def adaptive_solve3d(
+    grid,
+    spec,
+    f,
+    u0=None,
+    *,
+    a=None,
+    lam=0.0,
+    policy: PrecisionPolicy = PrecisionPolicy(mode=Precision.ADAPTIVE),
+    cfg: MultigridConfig = MultigridConfig(),
+    start: Precision = Precision.FP32,
+    chunk: int = 5,
+    mesh=None,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """3D adaptive-precision solve — same staged policy loop as
+    :func:`adaptive_solve` over the 3D driver stack."""
+    from . import multigrid3d as mg3
+
+    constrain = None
+    if mesh is not None:
+        from ..parallel.distributed import make_constrainer3d
+        from ..parallel.mesh import grid_sharding3d
+        constrain = make_constrainer3d(mesh)
+        sh = grid_sharding3d(mesh, grid)
+        f = jax.device_put(f, sh)
+        if u0 is not None:
+            u0 = jax.device_put(u0, sh)
+
+    hierarchies: Dict[Precision, Any] = {}
+
+    def get_levels(p: Precision):
+        if p not in hierarchies:
+            hierarchies[p] = mg3.build_hierarchy3d(
+                grid, spec, a=a, lam=lam, dtype=p.dtype, cfg=cfg
+            )
+        return hierarchies[p]
+
+    def _ir3(levels, f, u0, cfg, *, max_outer, constrain):
+        return mg3.ir_solve3d(levels, f, u0, cfg, max_outer=max_outer,
+                              constrain=constrain)
+
+    out = _adaptive_core(
+        f, u0, get_levels=get_levels, solve=mg3.mg_solve3d, ir=_ir3,
+        pad_shape=grid.shape_padded, policy=policy, cfg=cfg, start=start,
+        chunk=chunk, constrain=constrain,
+    )
+    out[1]["method"] = "adaptive_3d"
+    return out
+
+
+def _adaptive_core(f, u0, *, get_levels, solve, ir, pad_shape, policy, cfg,
+                   start, chunk, constrain):
+    """The staged promotion loop shared by 2D and 3D adaptive solves."""
+    stage_idx = _STAGE_ORDER.index(start)
     history: list = []
     switches: list = []
     # per-stage residual segments: a convergence factor over a mixed
@@ -175,14 +244,6 @@ def adaptive_solve(
     u = u0
     total_iters = 0
 
-    def get_levels(p: Precision):
-        if p not in hierarchies:
-            hierarchies[p] = mg_mod.build_hierarchy(
-                grid, spec, a=a, lam=lam, domain=domain, dtype=p.dtype,
-                cfg=cfg
-            )
-        return hierarchies[p]
-
     while True:
         p = _STAGE_ORDER[stage_idx]
         eps = float(jnp.finfo(p.dtype).eps)
@@ -190,8 +251,7 @@ def adaptive_solve(
         stage_tol = max(cfg.tol, 20.0 * eps)
         levels = get_levels(p)
         stage_cfg = cfg.replace(tol=stage_tol, max_iterations=chunk)
-        u, info = mg_mod.mg_solve(levels, f, u, stage_cfg,
-                                  constrain=constrain)
+        u, info = solve(levels, f, u, stage_cfg, constrain=constrain)
         history.extend(info["history"][1:].tolist())
         segments.append((p.value, "cycle", info["history"]))
         total_iters += info["iterations"]
@@ -215,8 +275,8 @@ def adaptive_solve(
                     # (cheap) precision instead of full-fp64 cycles
                     switches.append((total_iters, "ir"))
                     u64 = (u if u is not None else
-                           jnp.zeros(grid.shape_padded, jnp.float64))
-                    u, info = ir_solve(
+                           jnp.zeros(pad_shape, jnp.float64))
+                    u, info = ir(
                         levels, f, u64, cfg,
                         max_outer=max(1, cfg.max_iterations - total_iters),
                         constrain=constrain,

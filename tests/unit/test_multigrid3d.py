@@ -338,3 +338,17 @@ class TestPoisson3DFrontend:
         assert st["converged"]
         assert 1.8 < st["order_l2"] < 2.2
         assert 1.8 < st["order_h1"] < 2.2
+
+    def test_solve_poisson3d_adaptive(self):
+        """Staged promotion in 3D: fp32 chunks then IR finish to 1e-10."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+            solve_poisson3d,
+        )
+        cfg = CFG.replace(tol=1e-10)
+        res = solve_poisson3d(P3.poisson3d_mms_sinsinsin(33),
+                              precision="adaptive", cfg=cfg)
+        assert res.converged
+        assert res.info["method"] == "adaptive_3d"
+        # started fp32, finished with an IR stage
+        assert any(kind == "ir" for _, kind in res.info["precision_switches"])
+        assert res.errors["l2"] < 2e-3
