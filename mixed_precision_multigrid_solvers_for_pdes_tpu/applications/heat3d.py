@@ -81,13 +81,21 @@ def solve_heat3d(
     cfg: HeatConfig = HeatConfig(),
     *,
     mesh=None,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ) -> Dict[str, Any]:
     """Fixed-dt integration under one lax.scan (theta schemes, BDF2 with a
     Crank-Nicolson bootstrap, explicit).
 
     With ``mesh`` the run is SPMD over the device mesh: (x, y) are
     block-partitioned, z stays on-device (lane axis + line-smoother
-    direction), per-level constraints threaded through every V-cycle."""
+    direction), per-level constraints threaded through every V-cycle.
+
+    With ``checkpoint`` (a utils.checkpoint.CheckpointManager) the scan runs
+    in chunks of ``checkpoint_every`` steps with atomic (u_prev, u, t) saves
+    and resumes bit-exactly from the latest checkpoint (BDF2 two-step
+    history preserved) — 3D sibling of solve_heat's checkpoint path.
+    checkpoint_every=0 saves once at the end."""
     if cfg.scheme not in ("explicit", "backward_euler", "crank_nicolson",
                           "theta", "bdf2"):
         raise ValueError(
@@ -182,8 +190,9 @@ def solve_heat3d(
             u_new = step(u_prev, u, t, dt_)
             return (u, u_new, t + dt_), None
 
-        (_, u, t), _ = jax.lax.scan(body, (u_prev0, u0, t0), None, length=n)
-        return u, t
+        (u_prev, u, t), _ = jax.lax.scan(body, (u_prev0, u0, t0), None,
+                                         length=n)
+        return u_prev, u, t
 
     u0 = problem.initial_state(dtype)
     if mesh is not None:
@@ -193,15 +202,42 @@ def solve_heat3d(
     dt_t = jnp.asarray(dt_val, jnp.float64)
     t0 = jnp.asarray(0.0, jnp.float64)
     u_prev0, start = u0, 0
-    if cfg.scheme == "bdf2" and n_steps >= 1:
+    resumed = False
+    if checkpoint is not None and checkpoint.latest_step() is not None:
+        arrays, meta = checkpoint.restore()
+        if abs(meta.get("dt", dt_val) - dt_val) > 1e-12 * max(abs(dt_val), 1.0):
+            raise ValueError(
+                f"checkpoint dt={meta.get('dt')} != requested dt={dt_val}; "
+                "resume requires the same step size")
+        u_prev0 = jnp.asarray(arrays["u_prev"], dtype)
+        u0 = jnp.asarray(arrays["u"], dtype)
+        if mesh is not None:
+            from ..parallel import mesh as mesh_mod
+            sh3 = mesh_mod.grid_sharding3d(mesh, grid)
+            u_prev0 = jax.device_put(u_prev0, sh3)
+            u0 = jax.device_put(u0, sh3)
+        start = int(meta["k"])
+        t0 = jnp.asarray(meta["t"], jnp.float64)
+        resumed = True
+    if cfg.scheme == "bdf2" and n_steps >= 1 and not resumed:
         u1 = jax.jit(theta_step(0.5))(u0, u0, t0, dt_t)  # CN bootstrap
         u_prev0, u0 = u0, u1
         t0 = t0 + dt_t
         start = 1
-    if start < n_steps:
-        u, t = run(u_prev0, u0, t0, dt_t, n_steps - start)
-    else:
-        u, t = u0, t0
+    u_prev, u, t = u_prev0, u0, t0
+    if checkpoint is not None:
+        every = checkpoint_every if checkpoint_every > 0 else n_steps
+        k = start
+        while k < n_steps:
+            m = min(every, n_steps - k)
+            u_prev, u, t = run(u_prev, u, t, dt_t, m)
+            k += m
+            checkpoint.save(
+                k, {"u_prev": u_prev, "u": u},
+                {"t": float(t), "k": k, "dt": dt_val, "scheme": cfg.scheme},
+            )
+    elif start < n_steps:
+        u_prev, u, t = run(u_prev0, u0, t0, dt_t, n_steps - start)
     out = {"u": u, "t": float(t), "steps": n_steps}
     if problem.exact is not None:
         out["errors"] = problem.error_norms(u, float(t))

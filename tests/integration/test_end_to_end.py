@@ -145,3 +145,34 @@ class TestPrecisionAnalysisPipeline:
         rest = solve_heat(prob2, t_final=0.01, dt=0.002, cfg=cfg)
         np.testing.assert_allclose(np.asarray(rest.u), np.asarray(full.u),
                                    rtol=0, atol=1e-12)
+
+
+class TestHeat3DCheckpoint:
+    def test_checkpoint_resume_bdf2_3d(self, tmp_path):
+        """3D kill-and-resume: interrupted run (checkpoint at step 6 of 10)
+        resumed to completion matches a straight-through run bit-for-bit,
+        BDF2 two-step history included."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat3d import (
+            pure_diffusion3d,
+            solve_heat3d,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.utils import (
+            CheckpointManager,
+        )
+
+        prob = pure_diffusion3d(17)
+        cfg = HeatConfig(scheme="bdf2", dtype="float64")
+        full = solve_heat3d(prob, t_final=0.02, dt=0.002, cfg=cfg)
+
+        mgr = CheckpointManager(tmp_path / "ck3d")
+        # "crash" after 6 of 10 steps
+        solve_heat3d(prob, t_final=0.012, dt=0.002, cfg=cfg,
+                     checkpoint=mgr, checkpoint_every=3)
+        assert mgr.latest_step() == 6
+        # resume the 10-step run from the saved (u_prev, u, t)
+        rest = solve_heat3d(prob, t_final=0.02, dt=0.002, cfg=cfg,
+                            checkpoint=mgr, checkpoint_every=3)
+        np.testing.assert_allclose(np.asarray(rest["u"]),
+                                   np.asarray(full["u"]),
+                                   rtol=0, atol=1e-14)
+        assert rest["errors"]["l2"] < 2e-3
