@@ -460,6 +460,11 @@ def solve_heat(
             raise ValueError(
                 f"checkpoint dt={meta.get('dt')} != requested dt={dt}; "
                 "resume requires the same step size")
+        if meta.get("scheme", cfg.scheme) != cfg.scheme:
+            raise ValueError(
+                f"checkpoint scheme={meta.get('scheme')!r} != requested "
+                f"scheme={cfg.scheme!r}; resuming would continue from "
+                "incompatible time-integration history")
         u_prev0 = jnp.asarray(arrays["u_prev"], dtype)
         u0 = jnp.asarray(arrays["u"], dtype)
         if mesh is not None:

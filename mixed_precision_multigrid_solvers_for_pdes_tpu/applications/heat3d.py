@@ -209,6 +209,11 @@ def solve_heat3d(
             raise ValueError(
                 f"checkpoint dt={meta.get('dt')} != requested dt={dt_val}; "
                 "resume requires the same step size")
+        if meta.get("scheme", cfg.scheme) != cfg.scheme:
+            raise ValueError(
+                f"checkpoint scheme={meta.get('scheme')!r} != requested "
+                f"scheme={cfg.scheme!r}; resuming would continue from "
+                "incompatible time-integration history")
         u_prev0 = jnp.asarray(arrays["u_prev"], dtype)
         u0 = jnp.asarray(arrays["u"], dtype)
         if mesh is not None:
@@ -235,6 +240,14 @@ def solve_heat3d(
             checkpoint.save(
                 k, {"u_prev": u_prev, "u": u},
                 {"t": float(t), "k": k, "dt": dt_val, "scheme": cfg.scheme},
+            )
+        if (checkpoint.latest_step() or 0) < n_steps:
+            # n_steps fully covered by the bootstrap (bdf2, n_steps == 1):
+            # the loop never ran — still honor the save-at-end contract
+            checkpoint.save(
+                n_steps, {"u_prev": u_prev, "u": u},
+                {"t": float(t), "k": n_steps, "dt": dt_val,
+                 "scheme": cfg.scheme},
             )
     elif start < n_steps:
         u_prev, u, t = run(u_prev0, u0, t0, dt_t, n_steps - start)

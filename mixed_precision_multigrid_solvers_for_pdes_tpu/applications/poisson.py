@@ -157,6 +157,12 @@ def convergence_study(
                  iterations=res.iterations, converged=res.converged,
                  **res.errors)
         )
+    return fit_study(list(sizes), rows)
+
+
+def fit_study(sizes: List[int], rows: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Order-fit tail shared by the 2D and 3D convergence studies: each row
+    carries h/l2/linf/h1/iterations/converged for one ladder size."""
     h = np.array([r["h"] for r in rows])
     l2 = np.array([r["l2"] for r in rows])
     linf = np.array([r["linf"] for r in rows])

@@ -14,13 +14,12 @@ from typing import Any, Callable, Dict, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.precision import Precision, PrecisionPolicy, policy as make_policy
 from ..models.problems3d import Problem3D
 from ..solvers import multigrid3d as mg3
 from ..solvers.multigrid import MultigridConfig
-from .poisson import PoissonResult, observed_order
+from .poisson import PoissonResult, fit_study
 
 
 def solve_poisson3d(
@@ -45,10 +44,11 @@ def solve_poisson3d(
     pol = precision if isinstance(precision, PrecisionPolicy) \
         else make_policy(precision)
 
-    constrain = None
-    if mesh is not None:
+    def _constrain():
+        if mesh is None:
+            return None
         from ..parallel.distributed import make_constrainer3d
-        constrain = make_constrainer3d(mesh)
+        return make_constrainer3d(mesh)
 
     def _shard(*arrays):
         if mesh is None:
@@ -67,21 +67,27 @@ def solve_poisson3d(
             problem.initial_guess(jnp.float64),
             a=problem.a, lam=problem.lam, policy=pol, cfg=cfg, mesh=mesh,
         )
-    elif pol.mode == Precision.MIXED:
-        levels = mg3.build_hierarchy3d(problem.grid, problem.spec,
-                                       a=problem.a, lam=problem.lam,
-                                       dtype="float32", cfg=cfg)
-        f64, u64 = _shard(problem.rhs(jnp.float64),
-                          problem.initial_guess(jnp.float64))
-        u, info = mg3.ir_solve3d(levels, f64, u64, cfg, inner_cycles=2,
-                                 constrain=constrain)
     else:
-        dt = pol.mode.dtype
-        levels = mg3.build_hierarchy3d(problem.grid, problem.spec,
-                                       a=problem.a, lam=problem.lam,
-                                       dtype=dt, cfg=cfg)
-        fd, ud = _shard(problem.rhs(dt), problem.initial_guess(dt))
-        u, info = mg3.mg_solve3d(levels, fd, ud, cfg, constrain=constrain)
+        dt = None if pol.mode == Precision.MIXED else pol.mode.dtype
+        if dt == jnp.float32 and cfg.tol < 1e-6:
+            # fp32 residual evaluation floors near ~1e-7 relative; wrap the
+            # cycles in float64 IR (matches solve_poisson, poisson.py:107)
+            dt = None
+        if dt is None:
+            levels = mg3.build_hierarchy3d(problem.grid, problem.spec,
+                                           a=problem.a, lam=problem.lam,
+                                           dtype="float32", cfg=cfg)
+            f64, u64 = _shard(problem.rhs(jnp.float64),
+                              problem.initial_guess(jnp.float64))
+            u, info = mg3.ir_solve3d(levels, f64, u64, cfg, inner_cycles=2,
+                                     constrain=_constrain())
+        else:
+            levels = mg3.build_hierarchy3d(problem.grid, problem.spec,
+                                           a=problem.a, lam=problem.lam,
+                                           dtype=dt, cfg=cfg)
+            fd, ud = _shard(problem.rhs(dt), problem.initial_guess(dt))
+            u, info = mg3.mg_solve3d(levels, fd, ud, cfg,
+                                     constrain=_constrain())
     jax.block_until_ready(u)
     dt_solve = time.perf_counter() - t0
 
@@ -107,19 +113,4 @@ def convergence_study3d(
         rows.append(dict(n=n, h=max(prob.grid.hx, prob.grid.hy, prob.grid.hz),
                          iterations=res.iterations, converged=res.converged,
                          **res.errors))
-    h = np.array([r["h"] for r in rows])
-    l2 = np.array([r["l2"] for r in rows])
-    linf = np.array([r["linf"] for r in rows])
-    h1 = np.array([r.get("h1", np.nan) for r in rows])
-    return {
-        "sizes": list(sizes),
-        "h": h,
-        "l2": l2,
-        "linf": linf,
-        "h1": h1,
-        "iterations": [r["iterations"] for r in rows],
-        "converged": all(r["converged"] for r in rows),
-        "order_l2": observed_order(h, l2),
-        "order_linf": observed_order(h, linf),
-        "order_h1": observed_order(h[np.isfinite(h1)], h1[np.isfinite(h1)]),
-    }
+    return fit_study(list(sizes), rows)

@@ -176,3 +176,43 @@ class TestHeat3DCheckpoint:
                                    np.asarray(full["u"]),
                                    rtol=0, atol=1e-14)
         assert rest["errors"]["l2"] < 2e-3
+
+    def test_resume_scheme_mismatch_rejected(self, tmp_path):
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat3d import (
+            pure_diffusion3d,
+            solve_heat3d,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.utils import (
+            CheckpointManager,
+        )
+
+        prob = pure_diffusion3d(17)
+        mgr = CheckpointManager(tmp_path / "ck3d_scheme")
+        solve_heat3d(prob, t_final=0.006, dt=0.002,
+                     cfg=HeatConfig(scheme="crank_nicolson", dtype="float64"),
+                     checkpoint=mgr, checkpoint_every=2)
+        with pytest.raises(ValueError, match="scheme"):
+            solve_heat3d(prob, t_final=0.02, dt=0.002,
+                         cfg=HeatConfig(scheme="bdf2", dtype="float64"),
+                         checkpoint=mgr)
+
+    def test_bdf2_single_step_still_checkpoints(self, tmp_path):
+        """n_steps == 1 is fully covered by the CN bootstrap; the final
+        state must still be saved (save-at-end contract)."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat3d import (
+            pure_diffusion3d,
+            solve_heat3d,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.utils import (
+            CheckpointManager,
+        )
+
+        prob = pure_diffusion3d(17)
+        mgr = CheckpointManager(tmp_path / "ck3d_one")
+        out = solve_heat3d(prob, t_final=0.002, dt=0.002,
+                           cfg=HeatConfig(scheme="bdf2", dtype="float64"),
+                           checkpoint=mgr)
+        assert mgr.latest_step() == 1
+        arrays, meta = mgr.restore()
+        np.testing.assert_allclose(np.asarray(arrays["u"]),
+                                   np.asarray(out["u"]), rtol=0, atol=0)
