@@ -36,6 +36,7 @@ class MMSResult:
     iterations: List[int]
     wall_s: float
     h1_order: float = float("nan")  # observed H1-seminorm order (steady only)
+    exact_floor: bool = False       # errors at round-off: orders are noise
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -94,6 +95,7 @@ class MMSValidator:
             # H1 column rather than print a meaningless number
             h1_order=(float("nan") if exact_discretization
                       else float(study.get("order_h1", float("nan")))),
+            exact_floor=bool(exact_discretization),
         )
         self.results.append(res)
         return res
@@ -133,6 +135,7 @@ class MMSValidator:
             wall_s=time.perf_counter() - t0,
             h1_order=(float("nan") if exact_discretization
                       else float(study["order_h1"])),
+            exact_floor=bool(exact_discretization),
         )
         self.results.append(res)
         return res
@@ -235,9 +238,13 @@ class MMSValidator:
         ]
         for r in self.results:
             h1 = "" if np.isnan(r.h1_order) else f"{r.h1_order:.2f}"
+            # exact-discretization rows sit at the round-off floor: the
+            # fitted order is noise, so label the row instead
+            obs = ("exact (round-off floor)" if r.exact_floor
+                   else f"{r.observed_order:.2f}")
             lines.append(
                 f"| {r.problem} | {r.kind} | {r.sizes} | "
-                f"{r.observed_order:.2f} | {h1} | {r.expected_order:.2f} | "
+                f"{obs} | {h1} | {r.expected_order:.2f} | "
                 f"{'PASS' if r.passed else 'FAIL'} |"
             )
         return "\n".join(lines)
