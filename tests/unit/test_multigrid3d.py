@@ -328,6 +328,13 @@ class TestPoisson3DFrontend:
         assert r2.converged
         np.testing.assert_allclose(np.asarray(r2.u), np.asarray(r1.u),
                                    rtol=0, atol=1e-12)
+        # mixed (fp32 cycles + f64 IR outer) through the same mesh: the
+        # constrain threading in _ir3_jit must preserve numerics exactly
+        m1 = solve_poisson3d(prob, precision="mixed", cfg=CFG)
+        m2 = solve_poisson3d(prob, precision="mixed", cfg=CFG, mesh=mesh)
+        assert m2.converged
+        np.testing.assert_allclose(np.asarray(m2.u), np.asarray(m1.u),
+                                   rtol=0, atol=1e-12)
 
     def test_convergence_study3d_order2(self):
         from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
