@@ -257,6 +257,47 @@ def solve_heat3d(
     return out
 
 
+def heat_source3d(n: int, alpha: float = 1.0) -> HeatProblem3D:
+    """Steady manufactured source: u = sin(pi x) sin(pi y) sin(pi z)
+    (time-independent), q = 3 pi^2 alpha u — the 3D analogue of the 2D
+    heat_source problem (applications/heat_problems.py:34)."""
+    PI = np.pi
+
+    def spatial(X, Y, Z):
+        return jnp.sin(PI * X) * jnp.sin(PI * Y) * jnp.sin(PI * Z)
+
+    def exact(X, Y, Z, t):
+        return spatial(X, Y, Z) + 0.0 * t
+
+    def q(X, Y, Z, t):
+        return 3 * PI**2 * alpha * spatial(X, Y, Z)
+
+    return HeatProblem3D("heat3d_source", Grid3D(n, n, n), alpha=alpha,
+                         exact=exact, q=q)
+
+
+def oscillating3d(n: int, alpha: float = 1.0,
+                  omega: float = 2 * np.pi) -> HeatProblem3D:
+    """u = sin(pi x) sin(pi y) sin(pi z) cos(omega t);
+    q = u_t - alpha lap u = (-omega sin(omega t) + 3 pi^2 alpha cos(omega t))
+    * spatial — time-dependent source (3D analogue of the 2D oscillating
+    problem, applications/heat_problems.py:90)."""
+    PI = np.pi
+
+    def spatial(X, Y, Z):
+        return jnp.sin(PI * X) * jnp.sin(PI * Y) * jnp.sin(PI * Z)
+
+    def exact(X, Y, Z, t):
+        return spatial(X, Y, Z) * jnp.cos(omega * t)
+
+    def q(X, Y, Z, t):
+        return spatial(X, Y, Z) * (-omega * jnp.sin(omega * t)
+                                   + 3 * PI**2 * alpha * jnp.cos(omega * t))
+
+    return HeatProblem3D("heat3d_oscillating", Grid3D(n, n, n), alpha=alpha,
+                         exact=exact, q=q)
+
+
 def pure_diffusion3d(n: int, alpha: float = 1.0) -> HeatProblem3D:
     """u = sin(pi x) sin(pi y) sin(pi z) e^{-3 pi^2 alpha t}, q = 0."""
     PI = np.pi

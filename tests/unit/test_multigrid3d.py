@@ -359,3 +359,39 @@ class TestPoisson3DFrontend:
         # started fp32, finished with an IR stage
         assert any(kind == "ir" for _, kind in res.info["precision_switches"])
         assert res.errors["l2"] < 2e-3
+
+
+class TestHeat3DProblems:
+    def test_heat_source3d_steady_state(self):
+        """Time-independent manufactured source: integration stays on the
+        steady profile (error bounded by spatial truncation)."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat3d import (
+            heat_source3d,
+            solve_heat3d,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+            HeatConfig,
+        )
+        out = solve_heat3d(heat_source3d(17), t_final=0.02, dt=0.002,
+                           cfg=HeatConfig(scheme="crank_nicolson",
+                                          dtype="float64"))
+        assert out["errors"]["l2"] < 5e-3
+
+    def test_oscillating3d_order2_in_space(self):
+        """Time-dependent source: CN at small dt shows spatial order 2."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat3d import (
+            oscillating3d,
+            solve_heat3d,
+        )
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+            HeatConfig,
+        )
+        errs = {}
+        for n in (9, 17):
+            out = solve_heat3d(oscillating3d(n), t_final=0.01, dt=5e-4,
+                               cfg=HeatConfig(scheme="crank_nicolson",
+                                              dtype="float64",
+                                              cycles_per_step=2))
+            errs[n] = out["errors"]["l2"]
+        order = np.log2(errs[9] / errs[17])
+        assert 1.7 < order < 2.3
