@@ -179,6 +179,46 @@ class MMSValidator:
         self.results.append(res)
         return res
 
+    def validate_heat3d(
+        self,
+        factory: Callable[[int], Any],
+        sizes: Sequence[int] = (9, 17),
+        *,
+        t_final: float = 0.01,
+        dt: float = 5e-4,
+        scheme: str = "crank_nicolson",
+        name: Optional[str] = None,
+        expected_order: Optional[float] = None,
+    ) -> MMSResult:
+        """3D spatial-order study at small fixed dt via real solve_heat3d
+        runs (the reference had no 3D heat solver, heat_solver.py:752-792)."""
+        from ..applications.heat3d import solve_heat3d
+
+        t0 = time.perf_counter()
+        errs: List[float] = []
+        for n in sizes:
+            prob = factory(n)
+            cfg = HeatConfig(scheme=scheme, cycles_per_step=2,
+                             dtype="float64")
+            out = solve_heat3d(prob, t_final=t_final, dt=dt, cfg=cfg)
+            errs.append(float(out["errors"]["l2"]))
+        hs = 1.0 / (np.asarray(sizes, dtype=float) - 1)
+        order = observed_order(hs, np.asarray(errs))
+        expect = expected_order if expected_order is not None else self.expected_order
+        res = MMSResult(
+            problem=name or factory(sizes[0]).name,
+            kind="time_dependent_3d",
+            sizes=list(sizes),
+            l2_errors=errs,
+            observed_order=float(order),
+            expected_order=expect,
+            passed=bool(abs(order - expect) <= self.order_tolerance),
+            iterations=[],
+            wall_s=time.perf_counter() - t0,
+        )
+        self.results.append(res)
+        return res
+
     # ---- suite driver + report ---------------------------------------------
 
     def run_standard_suite(self, sizes=(17, 33, 65, 129),
@@ -217,6 +257,9 @@ class MMSValidator:
 
         self.validate_heat(HP.pure_diffusion, heat_sizes, name="heat_pure_diffusion")
         self.validate_heat(HP.oscillating, heat_sizes, name="heat_oscillating")
+        from ..applications.heat3d import oscillating3d
+
+        self.validate_heat3d(oscillating3d, sizes3d[:2], name="heat3d_oscillating")
         return self.results
 
     def summary(self) -> Dict[str, Any]:
