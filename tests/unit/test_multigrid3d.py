@@ -395,3 +395,32 @@ class TestHeat3DProblems:
             errs[n] = out["errors"]["l2"]
         order = np.log2(errs[9] / errs[17])
         assert 1.7 < order < 2.3
+
+
+def test_sharded_line_z_matches_single():
+    """Zebra line-z smoothing under a 2D device mesh: grid_sharding3d keeps
+    z local, so every PCR tridiagonal solve stays on one device (no
+    cross-device line splits) — sharded solve must bit-match single device
+    on the anisotropic problem that NEEDS the line smoother."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device mesh")
+    from mixed_precision_multigrid_solvers_for_pdes_tpu import parallel
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.parallel.distributed import (
+        make_constrainer3d)
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.parallel.mesh import (
+        grid_sharding3d)
+
+    mesh = parallel.make_mesh(jax.devices()[:8], shape=(2, 4))
+    prob = P3.anisotropic3d_z(33, aspect=0.1)
+    cfg = CFG.replace(smoother="line_z", max_iterations=40)
+    levels = mg3.build_hierarchy3d(prob.grid, prob.spec, dtype="float64",
+                                   cfg=cfg)
+    f = prob.rhs(jnp.float64)
+    u_ref, info_ref = mg3.mg_solve3d(levels, f, cfg=cfg)
+    con = make_constrainer3d(mesh, min_points_per_device=4)
+    f_sh = jax.device_put(f, grid_sharding3d(mesh, levels[0].grid, 4))
+    u_sh, info_sh = mg3.mg_solve3d(levels, f_sh, cfg=cfg, constrain=con)
+    assert info_sh["iterations"] == info_ref["iterations"]
+    assert info_sh["convergence_factor"] < 0.1
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=0, atol=1e-11)
