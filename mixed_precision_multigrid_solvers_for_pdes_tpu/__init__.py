@@ -41,3 +41,8 @@ from .solvers.multigrid import (  # noqa: E402,F401
     mg_cycle,
 )
 from .models.problems import Problem, poisson_mms_sinsin  # noqa: E402,F401
+from .core.grid3d import Grid3D  # noqa: E402,F401
+from .solvers.multigrid3d import (  # noqa: E402,F401
+    build_hierarchy3d,
+    mg_solve3d,
+)
