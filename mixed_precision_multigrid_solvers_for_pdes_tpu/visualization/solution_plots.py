@@ -110,3 +110,29 @@ class SolutionVisualizer:
         for k in range(n, n_rows * n_cols):
             axes[k // n_cols][k % n_cols].axis("off")
         return finish(fig, save, show)
+
+    def plot_slices3d(self, grid3d, field, *, axis: str = "z",
+                      positions=(0.25, 0.5, 0.75), save=None, show=False):
+        """Orthogonal slice panels through a 3D field (the reference's 3D
+        visualization never had a 3D solver to feed it; this renders real
+        Grid3D solutions). ``axis`` picks the normal ('x'|'y'|'z');
+        ``positions`` are fractions of the domain along it."""
+        plt = get_plt()
+        ax_idx = {"x": 0, "y": 1, "z": 2}[axis]
+        n_axis = (grid3d.nx, grid3d.ny, grid3d.nz)[ax_idx]
+        f = np.asarray(field)[: grid3d.nx, : grid3d.ny, : grid3d.nz]
+        n = len(positions)
+        fig, axes = plt.subplots(1, n, figsize=(3.6 * n, 3.2), squeeze=False)
+        vmax = max(float(np.abs(f).max()), 1e-300)
+        planes = "yz xz xy".split()[ax_idx]
+        for k, frac in enumerate(positions):
+            i = min(n_axis - 1, max(0, int(round(frac * (n_axis - 1)))))
+            sl = np.take(f, i, axis=ax_idx)
+            ax = axes[0][k]
+            im = ax.imshow(sl.T, origin="lower", cmap=self.cmap,
+                           vmin=-vmax, vmax=vmax)
+            ax.set_title(f"{axis} = {frac:g}")
+            ax.set_xlabel(planes[0])
+            ax.set_ylabel(planes[1])
+        fig.colorbar(im, ax=[a for row in axes for a in row], shrink=0.85)
+        return finish(fig, save, show)

@@ -51,6 +51,27 @@ class TestSolutionPlots:
         snaps = [(0.0, field), (0.1, field * 0.5), (0.2, field * 0.25)]
         _close(v.plot_time_series(grid, snaps))
 
+    def test_slices3d_content(self, tmp_path):
+        """Slice panels show the right plane data: the mid-z slice of
+        sin*sin*sin peaks at the domain center with value ~1."""
+        from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid3d import (
+            Grid3D,
+        )
+
+        g = Grid3D(17, 17, 17)
+        X, Y, Z = g.coordinates(padded=True)
+        f = np.sin(np.pi * X) * np.sin(np.pi * Y) * np.sin(np.pi * Z)
+        v = SolutionVisualizer()
+        fig = v.plot_slices3d(g, f, axis="z", positions=(0.5,),
+                              save=tmp_path / "sl.png")
+        ax = fig.axes[0]
+        img = ax.images[0].get_array()
+        mid = (g.nx - 1) // 2
+        assert abs(img[mid, mid] - 1.0) < 1e-6   # sin^3 peak at center
+        assert abs(img[0, 0]) < 1e-12            # boundary zero
+        assert (tmp_path / "sl.png").exists()
+        _close(fig)
+
 
 class TestConvergencePlots:
     def test_histories_and_grid_convergence(self, tmp_path):
