@@ -74,9 +74,13 @@ def solve_poisson3d(
             # cycles in float64 IR (matches solve_poisson, poisson.py:107)
             dt = None
         if dt is None:
+            # per-level dtypes (fine fp32 / coarse bf16 under 'mixed') when a
+            # policy drove us here; plain fp32 ladder for tight-tol uniform
+            pol_levels = pol if pol.mode == Precision.MIXED else None
             levels = mg3.build_hierarchy3d(problem.grid, problem.spec,
                                            a=problem.a, lam=problem.lam,
-                                           dtype="float32", cfg=cfg)
+                                           dtype="float32", policy=pol_levels,
+                                           cfg=cfg)
             f64, u64 = _shard(problem.rhs(jnp.float64),
                               problem.initial_guess(jnp.float64))
             u, info = mg3.ir_solve3d(levels, f64, u64, cfg, inner_cycles=2,

@@ -63,18 +63,26 @@ def build_hierarchy3d(
     a=None,
     lam=0.0,
     dtype=None,
+    policy=None,
     cfg: MultigridConfig = MultigridConfig(),
 ) -> Tuple[Level3D, ...]:
+    """Build the 3D level tuple. ``policy`` (a PrecisionPolicy) assigns
+    per-level dtypes (fine fp32 / coarse bf16 under 'mixed') exactly like the
+    2D build_hierarchy; ``dtype`` sets a uniform one."""
     grids = [grid]
     while grids[-1].can_coarsen() and len(grids) < cfg.max_levels:
         grids.append(grids[-1].coarsen())
-    dt = as_dtype(dtype if dtype is not None else jnp.float32)
+    if policy is not None:
+        dtypes = policy.level_dtypes(len(grids))
+    else:
+        dtypes = (as_dtype(dtype if dtype is not None else jnp.float32),
+                  ) * len(grids)
     if cfg.coarsening not in ("rediscretize", "galerkin"):
         raise ValueError(f"unknown coarsening {cfg.coarsening!r}")
     levels = []
     a_l, lam_l = a, lam
     st_hi = None  # float64 operator chain for Galerkin RAP
-    for i, g in enumerate(grids):
+    for i, (g, dt) in enumerate(zip(grids, dtypes)):
         if i == 0 or cfg.coarsening == "rediscretize":
             st = st3.make_stencil3d(g, spec, a=a_l, lam=lam_l, dtype=dt)
             if i == 0 and cfg.coarsening == "galerkin":

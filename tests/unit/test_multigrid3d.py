@@ -424,3 +424,23 @@ def test_sharded_line_z_matches_single():
     assert info_sh["convergence_factor"] < 0.1
     np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
                                rtol=0, atol=1e-11)
+
+
+def test_per_level_dtypes_3d():
+    """PrecisionPolicy('mixed') assigns fp32 fine / bf16 coarse levels in 3D
+    (2D parity, multigrid.py:149-152); IR over the mixed ladder still
+    reaches 1e-10."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.core.precision import (
+        policy as make_policy,
+    )
+
+    prob = P3.poisson3d_mms_sinsinsin(33)
+    cfg = CFG.replace(tol=1e-10)
+    levels = mg3.build_hierarchy3d(prob.grid, prob.spec,
+                                   policy=make_policy("mixed"), cfg=cfg)
+    dts = [str(l.dtype) for l in levels]
+    assert dts[0] == "float32" and dts[-1] == "bfloat16"
+    u, info = mg3.ir_solve3d(levels, prob.rhs(jnp.float64), None, cfg,
+                             inner_cycles=2)
+    assert info["converged"]
+    assert prob.error_norms(u)["l2"] < 2e-3
