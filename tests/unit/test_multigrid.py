@@ -222,3 +222,30 @@ class TestIrregularDomains:
                               prob.initial_guess(jnp.float64), CFG)
         assert info["converged"]
         assert info["iterations"] < 15
+
+
+def test_rectangular_grid_and_domain_order2():
+    """Non-square grid (33x65) on a non-square domain [0,1]x[0,2]
+    (hx != hy): the whole stack — stencil, masks, parity transfers,
+    smoothing — must stay second order."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid import Grid
+
+    PI = np.pi
+    errors = {}
+    for k, (nx, ny) in enumerate(((17, 33), (33, 65), (65, 129))):
+        g = Grid(nx, ny, (0.0, 1.0, 0.0, 2.0))
+        prob = P.from_callables(
+            f"rect_{nx}x{ny}", g,
+            u_exact=lambda X, Y: np.sin(PI * X) * np.sin(PI * Y / 2.0),
+            f=lambda X, Y: (PI**2 + PI**2 / 4.0)
+            * np.sin(PI * X) * np.sin(PI * Y / 2.0),
+        )
+        levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float64",
+                                    cfg=CFG_RBGS)
+        u, info = mg.mg_solve(levels, prob.rhs(jnp.float64),
+                              prob.initial_guess(jnp.float64), CFG_RBGS)
+        assert info["converged"], (nx, ny, info)
+        errors[k] = prob.error_norms(u)["l2"]
+    o1 = np.log2(errors[0] / errors[1])
+    o2 = np.log2(errors[1] / errors[2])
+    assert 1.8 < o1 < 2.2 and 1.8 < o2 < 2.2, (o1, o2, errors)
