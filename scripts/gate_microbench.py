@@ -1,0 +1,214 @@
+"""Microbenchmark for the 2D hardware-gated Pallas kernels.
+
+`ops/dispatch.py` keeps two 2D 'auto' gates off until their kernels have been
+Mosaic-compiled and TIMED on the real chip (interpret-mode tests pin numerics
+only):
+
+  VARCOEF_AUTO — variable-coefficient multisweep smoothing (coefficient
+                 planes streamed through VMEM windows)
+  TAIL_AUTO    — the fused coarse-tail kernel (whole V-recursion below the
+                 entry level in ONE kernel launch, ops/pallas_kernels/tail.py)
+
+This script produces the numbers that justify (or veto) flipping each gate:
+marginal cost per operation with the two-K protocol (chained iterations with
+a real data dependency; the ~27 ms fixed axon dispatch cost cancels in the
+K-difference — see scripts/kernel_microbench.py).
+
+Rows:
+  varcoef_sweep_{n}  : one variable-coefficient RB-GS sweep, XLA vs Pallas
+  tail_cycle_{n}     : one V(2,2) cycle from entry n^2 to the coarsest level,
+                       XLA recursion (~6 ops/level) vs single fused kernel
+  full_cycle_{n}     : one V(2,2) cycle at a production size whose coarse
+                       tail the kernel would absorb (auto routing vs
+                       backend='pallas' end to end)
+
+Usage: python scripts/gate_microbench.py
+         [--varcoef-sizes 513,1025] [--tail-sizes 65,129]
+         [--full-sizes 1025] [--k 64] [--json reports/gate_microbench.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid import Grid
+from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import dispatch
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import (
+    multigrid as mg_mod,
+)
+from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
+    MultigridConfig,
+)
+
+
+def timed(fn, make_args, *, repeats=3):
+    out = fn(*make_args())
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(repeats):
+        args = make_args()
+        jax.block_until_ready(args)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def chain(fn, k):
+    @jax.jit
+    def run(u, f):
+        def body(i, u):
+            # denormal-scale perturbation defeats loop-invariant hoisting
+            # without changing the arithmetic
+            return fn(u, f + 1e-30 * i)
+        return jax.lax.fori_loop(0, k, body, u)
+    return run
+
+
+def marginal(fn, make_args, k_lo, k_hi, repeats=3):
+    t_lo = timed(chain(fn, k_lo), make_args, repeats=repeats)
+    t_hi = timed(chain(fn, k_hi), make_args, repeats=repeats)
+    return (t_hi - t_lo) / (k_hi - k_lo)
+
+
+def _mk_fields(pshape, n):
+    def mk():
+        rng = np.random.default_rng()
+        u = np.zeros(pshape, np.float32)
+        f = np.zeros(pshape, np.float32)
+        u[:n, :n] = rng.standard_normal((n, n)).astype(np.float32)
+        f[:n, :n] = rng.standard_normal((n, n)).astype(np.float32)
+        return jnp.asarray(u), jnp.asarray(f)
+    return mk
+
+
+def _varcoef_levels(n, cfg):
+    g = Grid(n, n)
+    px, py = g.shape_padded
+    X, Y = np.meshgrid(np.linspace(0, 1, px), np.linspace(0, 1, py),
+                       indexing="ij")
+    a = (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(np.pi * Y)).astype(
+        np.float32)
+    return mg_mod.build_hierarchy(g, a=jnp.asarray(a), dtype=jnp.float32,
+                                  cfg=cfg)
+
+
+def bench_varcoef(sizes, k, results):
+    for n in sizes:
+        cfg = MultigridConfig(smoother="rbgs", omega=1.0)
+        levels = _varcoef_levels(n, cfg)
+        lev = levels[0]
+        row = {}
+        for backend in ("xla", "pallas"):
+            def sweep(u, f, _b=backend, _lev=lev):
+                return dispatch.smooth(_lev.stencil, u, f, _lev,
+                                       method="rbgs", sweeps=1, omega=1.0,
+                                       backend=_b)
+            try:
+                t = marginal(sweep, _mk_fields(lev.grid.shape_padded, n),
+                             k, k + 64)
+                row[backend] = t
+                print(f"varcoef_sweep_{n} {backend:7s} {t*1e6:9.2f} us",
+                      flush=True)
+            except Exception as e:
+                row[backend] = None
+                print(f"varcoef_sweep_{n} {backend:7s} FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+        results[f"varcoef_sweep_{n}"] = row
+
+
+def bench_tail(sizes, k, results):
+    for n in sizes:
+        g = Grid(n, n)
+        row = {}
+        for backend in ("xla", "pallas"):
+            cfg = MultigridConfig(smoother="rbgs", omega=1.0,
+                                  backend=backend)
+            levels = mg_mod.build_hierarchy(g, dtype=jnp.float32, cfg=cfg)
+            if backend == "pallas":
+                assert dispatch.tail_ok(levels, 0, cfg, "V"), \
+                    f"tail gate rejects entry {n}"
+
+            def cyc(u, f, _cfg=cfg, _levels=levels):
+                return mg_mod.mg_cycle(_levels, u, f, _cfg)
+            try:
+                t = marginal(cyc, _mk_fields(g.shape_padded, n), k, k + 64)
+                row[backend] = t
+                print(f"tail_cycle_{n}   {backend:7s} {t*1e6:9.2f} us",
+                      flush=True)
+            except Exception as e:
+                row[backend] = None
+                print(f"tail_cycle_{n}   {backend:7s} FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+        results[f"tail_cycle_{n}"] = row
+
+
+def bench_full(sizes, k, results):
+    for n in sizes:
+        g = Grid(n, n)
+        row = {}
+        for backend in ("auto", "pallas"):
+            cfg = MultigridConfig(smoother="rbgs", omega=1.0,
+                                  backend=backend)
+            levels = mg_mod.build_hierarchy(g, dtype=jnp.float32, cfg=cfg)
+
+            def cyc(u, f, _cfg=cfg, _levels=levels):
+                return mg_mod.mg_cycle(_levels, u, f, _cfg)
+            try:
+                t = marginal(cyc, _mk_fields(g.shape_padded, n),
+                             max(4, k // 8), max(4, k // 8) + 16)
+                row[backend] = t
+                print(f"full_cycle_{n}   {backend:7s} {t*1e6:9.2f} us",
+                      flush=True)
+            except Exception as e:
+                row[backend] = None
+                print(f"full_cycle_{n}   {backend:7s} FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+        results[f"full_cycle_{n}"] = row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--varcoef-sizes", default="513,1025")
+    ap.add_argument("--tail-sizes", default="65,129")
+    ap.add_argument("--full-sizes", default="1025")
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--json", default="")
+    ap.add_argument("--only", default="",
+                    help="comma-subset of {varcoef,tail,full}")
+    args = ap.parse_args()
+    only = set(s for s in args.only.split(",") if s) or {"varcoef", "tail",
+                                                         "full"}
+
+    print(f"# backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+    results = {}
+    if "varcoef" in only:
+        bench_varcoef([int(s) for s in args.varcoef_sizes.split(",")],
+                      args.k, results)
+    if "tail" in only:
+        bench_tail([int(s) for s in args.tail_sizes.split(",")],
+                   args.k, results)
+    if "full" in only:
+        bench_full([int(s) for s in args.full_sizes.split(",")],
+                   args.k, results)
+    if args.json:
+        Path(args.json).write_text(json.dumps(results, indent=2))
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
