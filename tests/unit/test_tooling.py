@@ -221,3 +221,22 @@ class TestMMSValidator:
         v.save(p)
         d = json.loads(p.read_text())
         assert d["total"] == 1
+
+
+class TestHeadlineBench:
+    def test_bench_batch_protocol(self, capsys, monkeypatch):
+        """bench.py's batched sustained-throughput path runs end to end and
+        prints the one-JSON-line contract (the round driver executes it
+        unattended; a silent regression here loses the headline number)."""
+        import runpy
+        import sys
+        from pathlib import Path
+
+        root = Path(__file__).resolve().parents[2]
+        monkeypatch.setattr(sys, "argv", ["bench.py", "65", "2"])
+        monkeypatch.syspath_prepend(str(root))
+        runpy.run_path(str(root / "bench.py"), run_name="__main__")
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        out = json.loads(line)
+        assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+        assert out["value"] > 0 and out["unit"] == "DoF/s"
