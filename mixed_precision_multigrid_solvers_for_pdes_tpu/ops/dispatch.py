@@ -49,9 +49,10 @@ def _on_tpu() -> bool:
         return False
 
 
-# 'auto' routes variable-coefficient smoothing to the Pallas kernels only
-# once the streamed-coefficient path has been Mosaic-compiled and timed on
-# real hardware; backend='pallas' always tries.
+# Measured on the v5e chip (scripts/gate_microbench.py): the streamed-
+# coefficient Pallas sweep LOSES at 513^2 (91 vs 31 us) and only ties at
+# 1025^2 (117 vs 120 us) — the extra coefficient-plane traffic eats the
+# win. Gate stays OFF for 'auto'; backend='pallas' still exercises it.
 VARCOEF_AUTO = False
 
 
@@ -250,9 +251,11 @@ def prolong_correct(lev, nxt, ec, u):
     )
 
 
-# 'auto' routes the coarse tail to the fused kernel only once it has been
-# Mosaic-compiled and timed on real hardware; backend='pallas' always tries.
-TAIL_AUTO = False
+# Measured on the v5e chip (scripts/gate_microbench.py, two-K marginal):
+# XLA recursion below 129^2 costs ~61 us/cycle (dispatch-bound tiny levels);
+# the fused tail kernel absorbs it for ~0-29 us. Full V(2,2) at 1025^2:
+# 128 us ('auto' without tail) -> 73 us with it. Gate ON for auto on TPU.
+TAIL_AUTO = True
 
 
 def tail_ok(levels, lvl, cfg, cycle_type) -> bool:

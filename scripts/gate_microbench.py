@@ -168,8 +168,7 @@ def bench_full(sizes, k, results):
             def cyc(u, f, _cfg=cfg, _levels=levels):
                 return mg_mod.mg_cycle(_levels, u, f, _cfg)
             try:
-                t = marginal(cyc, _mk_fields(g.shape_padded, n),
-                             max(4, k // 8), max(4, k // 8) + 16)
+                t = marginal(cyc, _mk_fields(g.shape_padded, n), k, k + 64)
                 row[backend] = t
                 print(f"full_cycle_{n}   {backend:7s} {t*1e6:9.2f} us",
                       flush=True)
