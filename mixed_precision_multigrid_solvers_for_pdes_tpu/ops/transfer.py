@@ -151,6 +151,24 @@ def _prolong_matmul(ec, ncx, ncy, nfx, nfy, pshape_fine, dtype):
     return jnp.where((i < nfx) & (j < nfy), w, jnp.zeros((), dtype))
 
 
+def _decimate_ee(rf, dtype):
+    """Even-even plane ee[i, j] = rf[2i, 2j] without a lane-dim reshape.
+
+    The 4-way parity reshape materializes a lane-interleave relayout —
+    measured ~1.6 ms for the FMG inject-restrict chain at 1025^2 (round 3,
+    scripts/fmg_profile.py). This formulation uses the legal sublane
+    split-reshape for rows + the chunked MXU selection matmul for lanes
+    (exact at Precision.HIGHEST), same as _restrict_interior_fine: the
+    whole chain drops to ~80 us. Non-TPU / f64 keeps the reshape."""
+    px, py = rf.shape
+    if (jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
+                                     jnp.dtype(jnp.bfloat16))):
+        w2 = rf.astype(dtype).reshape(px // 2, 2, py)[:, 0, :]
+        return _chunked_decim(w2, dtype)
+    return rf.astype(dtype).reshape(px // 2, 2, py // 2, 2)[:, 0, :, 0]
+
+
 def _restrict_interior_fine(rf, dtype, *, full: bool):
     """Restriction as a fused fine-resolution weighted sum + sublane-reshape
     x-decimation + MXU-matmul y-decimation — the fastest exact formulation
@@ -259,7 +277,7 @@ def restrict(
         # Even-even parity plane IS injection (ee[i, j] = rf[2i, 2j]): avoids
         # lane-dim stride-2 slicing AND honors the periodic seam origin
         # (a plain [1:nc-1] window silently dropped the wrapped seam node 0).
-        c = rf.astype(dtype).reshape(px // 2, 2, py // 2, 2)[:, 0, :, 0]
+        c = _decimate_ee(rf, dtype)
     elif method in ("half_weighting", "full_weighting"):
         full = method == "full_weighting"
         if (jax.default_backend() == "tpu"
@@ -282,8 +300,7 @@ def restrict(
     if boundary in ("inject", "reflect"):
         ring = (ci < ncx) & (cj < ncy) & ~core
         if boundary == "inject":
-            ee = rf.astype(dtype).reshape(px // 2, 2, py // 2, 2)[:, 0, :, 0]
-            ring_vals = place(ee)
+            ring_vals = place(_decimate_ee(rf, dtype))
         else:  # reflect: c already carries the folded values at ring nodes
             ring_vals = cpad
         out = jnp.where(ring, ring_vals, out)

@@ -71,12 +71,14 @@ def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
     hist = hist.at[0].set(rnorm0)
 
     def cond(carry):
-        _, k, rnorm, _ = carry
+        _, _, k, rnorm, _ = carry
         return (rnorm > tol_eff) & (k < max_outer)
 
     def body(carry):
-        u, k, rnorm, hist = carry
-        r = st_mod.residual(st_hi, u, f, unknown, sync0)
+        # the residual of the CURRENT iterate rides the carry: one fp64
+        # residual per outer step, not two (the f64 stencil apply is
+        # XLA-emulated, ~150 us at 1025^2 — measured scripts/ir_profile.py)
+        u, r, k, rnorm, hist = carry
         # low-precision correction solve: A e = r, e0 = 0
         e = jnp.zeros(lev0.grid.shape_padded, lo)
         r_lo = r.astype(lo)
@@ -86,10 +88,10 @@ def _ir_jit(levels, st_hi, f, u0, cfg: MultigridConfig, inner_cycles: int,
         r = st_mod.residual(st_hi, u, f, unknown, sync0)
         rnorm = norms.scaled_l2(r, hx, hy)
         hist = hist.at[k + 1].set(rnorm)
-        return (u, k + 1, rnorm, hist)
+        return (u, r, k + 1, rnorm, hist)
 
-    u, k, rnorm, hist = jax.lax.while_loop(
-        cond, body, (u, jnp.asarray(0, jnp.int32), rnorm0, hist)
+    u, _, k, rnorm, hist = jax.lax.while_loop(
+        cond, body, (u, r0, jnp.asarray(0, jnp.int32), rnorm0, hist)
     )
     # single packed stats buffer -> single host readback (see multigrid.py)
     stats = jnp.stack([
