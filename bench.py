@@ -71,11 +71,24 @@ def main():
         _, stats = jax.lax.scan(body, 0, fs)
         return stats
 
+    # frequency-swept MMS batch: every solve is a genuinely different system
+    # -lap u_i = f_i with u_i = a_i sin(kx_i pi x) sin(ky_i pi y) — distinct
+    # spectral content per solve, not scalar multiples of one RHS.
+    g = prob.grid
+    px, py = g.shape_padded
+    X, Y = np.meshgrid(np.arange(n) * g.hx, np.arange(n) * g.hy,
+                       indexing="ij")
+    FREQS = [(1, 1), (2, 1), (1, 3), (3, 2), (2, 5), (5, 1), (4, 3), (1, 7)]
+
     def make_batch(r):
-        # distinct, nonzero scalings: every solve is a genuinely different
-        # system A u = c_i f, run to the same *relative* tolerance
-        c = 1.0 + (np.arange(K) + r * K) / (K * 8.0)
-        return jnp.asarray(c)[:, None, None] * f[None]
+        fs = np.zeros((K, px, py), np.float64)
+        for i in range(K):
+            kx, ky = FREQS[i % len(FREQS)]
+            amp = 1.0 + (i + r * K) / (K * 8.0)
+            fs[i, :n, :n] = (amp * (kx**2 + ky**2) * np.pi**2
+                             * np.sin(kx * np.pi * X)
+                             * np.sin(ky * np.pi * Y))
+        return jnp.asarray(fs)
 
     try:
         # warmup / compile

@@ -83,23 +83,25 @@ def _pipeline_kernel(p_ref, u_hbm, f_hbm, o_hbm, uo, ur, ff, ob,
         parity_jk = (gj + gk) & 1
 
         def in_dma(idx):
+            # static index math stays python-int (Mosaic's load/DMA lowering
+            # rejects raw numpy scalars); traced values pass through as-is
             slot = idx & 3
             return (
                 pltpu.make_async_copy(
-                    u_hbm.at[idx, pl.ds(_np.int32(wy0), wy), :],
-                    uo.at[slot, pl.ds(_np.int32(0), wy), :],
+                    u_hbm.at[idx, pl.ds(wy0, wy), :],
+                    uo.at[slot, pl.ds(0, wy), :],
                     in_sems.at[slot, _np.int32(0)]),
                 pltpu.make_async_copy(
-                    f_hbm.at[idx, pl.ds(_np.int32(wy0), wy), :],
-                    ff.at[slot, pl.ds(_np.int32(0), wy), :],
+                    f_hbm.at[idx, pl.ds(wy0, wy), :],
+                    ff.at[slot, pl.ds(0, wy), :],
                     in_sems.at[slot, _np.int32(1)]),
             )
 
         def out_dma(p):
             slot = p & 1
             return pltpu.make_async_copy(
-                ob.at[slot, pl.ds(_np.int32(0), by), :],
-                o_hbm.at[p, pl.ds(_np.int32(y0), by), :],
+                ob.at[slot, pl.ds(0, by), :],
+                o_hbm.at[p, pl.ds(y0, by), :],
                 out_sems.at[slot])
 
         def masks(q, want_first):
@@ -109,7 +111,7 @@ def _pipeline_kernel(p_ref, u_hbm, f_hbm, o_hbm, uo, ur, ff, ob,
             return unknown, color
 
         def load(ring, q, cast):
-            v = ring[q & 3, pl.ds(_np.int32(0), wy), :]
+            v = ring[q & 3, pl.ds(0, wy), :]
             return v.astype(compute) if cast else v
 
         def update(um, u0, up, fq, mask):
@@ -142,7 +144,7 @@ def _pipeline_kernel(p_ref, u_hbm, f_hbm, o_hbm, uo, ur, ff, ob,
                 res = update(load(uo, q - 1, u_cast), u0,
                              load(uo, q + 1, u_cast),
                              load(ff, q, f_cast), m1 & unknown)
-                ur[q & 3, pl.ds(_np.int32(0), wy), :] = res
+                ur[q & 3, pl.ds(0, wy), :] = res
 
             # stage 2 (second color) on plane p = i-2, from stage-1 planes
             @pl.when(i >= 2)
@@ -158,7 +160,7 @@ def _pipeline_kernel(p_ref, u_hbm, f_hbm, o_hbm, uo, ur, ff, ob,
                 res = update(load(ur, p - 1, False), u0,
                              load(ur, p + 1, False),
                              load(ff, p, f_cast), m2 & unknown)
-                ob[p & 1, pl.ds(_np.int32(0), by), :] = (
+                ob[p & 1, pl.ds(0, by), :] = (
                     res[off:off + by].astype(ob.dtype))
                 out_dma(p).start()
 

@@ -162,14 +162,14 @@ def _rr3_kernel(p_ref, u_hbm, f_hbm, o_hbm, uo, ff, co, ob,
 
             @pl.when(even & (q > 0))
             def _():
-                ci = q // 2
+                ci = q >> 1  # >> not //: Mosaic signed-div lowering recurses
                 co[ci & 3] = co[ci & 3] + 2.0 * d
 
             @pl.when(~even)
             def _():
-                ci_b = (q + 1) // 2          # first contribution
+                ci_b = (q + 1) >> 1          # first contribution
                 co[ci_b & 3] = d
-                ci_a = (q - 1) // 2          # last contribution -> complete
+                ci_a = (q - 1) >> 1          # last contribution -> complete
                 co[ci_a & 3] = co[ci_a & 3] + d
                 finalize(ci_a)
 
@@ -301,9 +301,9 @@ def _pc3_kernel(ec_hbm, u_hbm, o_hbm, er, ei, uo, ob, ec_sems, u_sems,
             u_dma(i + 1).start()
 
         # interp the next needed coarse plane: ci = i//2 + 1 at even i
-        @pl.when(((i & 1) == 0) & (i // 2 + 1 <= n_ci - 1))
+        @pl.when(((i & 1) == 0) & ((i >> 1) + 1 <= n_ci - 1))
         def _():
-            ci = i // 2 + 1
+            ci = (i >> 1) + 1
 
             @pl.when(ci + 2 <= n_ci - 1)
             def _():
@@ -323,8 +323,8 @@ def _pc3_kernel(ec_hbm, u_hbm, o_hbm, er, ei, uo, ob, ec_sems, u_sems,
             u0 = uo[i & 3]
             if u_cast:
                 u0 = u0.astype(compute)
-            lo = ei[(i // 2) & 3]
-            hi = ei[(i // 2 + 1) & 3]
+            lo = ei[(i >> 1) & 3]
+            hi = ei[((i >> 1) + 1) & 3]
             even = (i & 1) == 0
             e_pl = jnp.where(even, lo, half * (lo + hi))
             unknown = ((i > 0) & (i < nxf - 1)) & in_plane
