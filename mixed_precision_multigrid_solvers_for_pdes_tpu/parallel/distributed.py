@@ -10,7 +10,7 @@ multilevel coarse-grid correction under domain decomposition
 (vs the damped-residual placeholder at reference multi_gpu_solver.py:574-593).
 
 The explicitly-scheduled shard_map + ppermute halo path lives in
-parallel/halo.py; this module is the portable default.
+parallel/halo_solve.py; this module is the portable default.
 """
 
 from __future__ import annotations

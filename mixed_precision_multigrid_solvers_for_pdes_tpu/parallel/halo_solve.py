@@ -758,3 +758,83 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
         return u, jnp.concatenate([stats, hist])
 
     return run(u_h, f_h, sten_leaves)
+
+
+# ---------------------------------------------------------------------------
+# standalone explicit-path utilities (consolidated from round-1's
+# parallel/halo.py — the full solve above subsumes that module; these thin
+# wrappers keep the public smoothing/norm API on the same block machinery)
+# ---------------------------------------------------------------------------
+
+def _standard_blocks(mesh: Mesh, lev: Level):
+    mx, my = mesh.shape["x"], mesh.shape["y"]
+    px, py = lev.grid.shape_padded
+    if px % mx or py % my:
+        raise ValueError(f"padded shape {(px, py)} not divisible by mesh "
+                         f"{(mx, my)}")
+    if lev.spec.any_periodic:
+        raise NotImplementedError(
+            "explicit halo utilities: periodic BCs take halo_solve's torus "
+            "layout or the GSPMD path")
+    if jnp.ndim(lev.stencil.c) != 0:
+        raise NotImplementedError(
+            "explicit halo utilities: constant stencil only (variable "
+            "coefficients take halo_solve or the GSPMD path)")
+    return mx, my, px // mx, py // my
+
+
+def shard_smooth(
+    mesh: Mesh,
+    lev: Level,
+    u,
+    f,
+    *,
+    method: str = "rbgs",
+    sweeps: int = 2,
+    omega: float = 1.0,
+    overlap: bool = True,
+):
+    """``sweeps`` smoothing sweeps with explicit ppermute halo exchange.
+
+    ``u``/``f`` are standard global padded arrays (sharded or not —
+    shard_map splits them). RB-GS exchanges halos once per color: true
+    Gauss-Seidel ordering across device boundaries, which the reference's
+    halo scheme only refreshed once per sweep pair
+    (reference multi_gpu_solver.py:486-518). Bit-identical to the
+    single-device XLA smoother."""
+    mx, my, bx, by = _standard_blocks(mesh, lev)
+    st = lev.stencil
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("x", "y"), P("x", "y")),
+             out_specs=P("x", "y"))
+    def run(u_blk, f_blk):
+        gi, gj = _gidx(bx, by)
+        unknown = _block_unknown(lev.spec, lev.grid.nx, lev.grid.ny, gi, gj,
+                                 lev.domain, lev.grid)
+        return _smooth_block(st, u_blk, f_blk, unknown, mx, my,
+                             method=method, sweeps=sweeps, omega=omega,
+                             overlap=overlap)
+
+    return run(u, f)
+
+
+def global_residual_norm(mesh: Mesh, lev: Level, u, f):
+    """Scaled L2 of the residual via per-block f64 partial sums + psum
+    (replaces the reference's host-side reduction,
+    reference multi_gpu_solver.py:546-572)."""
+    mx, my, bx, by = _standard_blocks(mesh, lev)
+    st = lev.stencil
+    hx, hy = lev.grid.hx, lev.grid.hy
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("x", "y"), P("x", "y")),
+             out_specs=P())
+    def run(u_blk, f_blk):
+        gi, gj = _gidx(bx, by)
+        unknown = _block_unknown(lev.spec, lev.grid.nx, lev.grid.ny, gi, gj,
+                                 lev.domain, lev.grid)
+        r = _residual_block(st, u_blk, f_blk, unknown, mx, my)
+        local = jnp.sum(r.astype(jnp.float64) ** 2)
+        total = jax.lax.psum(jax.lax.psum(local, "x"), "y")
+        return jnp.sqrt(hx * hy * total)
+
+    return run(u, f)

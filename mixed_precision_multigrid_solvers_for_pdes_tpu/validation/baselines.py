@@ -190,6 +190,35 @@ class PerformanceBaselines:
 
         return self._scipy_result(problem, "pyamg", f, runs)
 
+    def run_petsc(self, problem: Problem, runs: int = 3) -> Optional[BaselineRow]:
+        """PETSc KSP(CG)+GAMG baseline (reference
+        validation/performance_baselines.py:61,129-539 compares against petsc
+        with a graceful skip when absent — parity row)."""
+        try:
+            from petsc4py import PETSc  # noqa: F401
+        except ImportError:
+            self.rows.append(BaselineRow("petsc", problem.grid.nx, float("nan"),
+                                         0, float("nan"), None, available=False))
+            return None
+
+        def f(A, b, box):
+            from petsc4py import PETSc
+
+            csr = A.tocsr()
+            Ap = PETSc.Mat().createAIJ(size=csr.shape,
+                                       csr=(csr.indptr, csr.indices, csr.data))
+            ksp = PETSc.KSP().create()
+            ksp.setOperators(Ap)
+            ksp.setType("cg")
+            ksp.getPC().setType("gamg")
+            ksp.setTolerances(rtol=self.cfg.tol, max_it=20000)
+            xb, bb = Ap.createVecs()
+            bb.setArray(b)
+            ksp.solve(bb, xb)
+            return xb.getArray().copy(), ksp.getIterationNumber()
+
+        return self._scipy_result(problem, "petsc", f, runs)
+
     # ---- suite -------------------------------------------------------------
 
     def run_suite(
@@ -198,7 +227,7 @@ class PerformanceBaselines:
         sizes: Sequence[int] = (65, 129, 257),
         *,
         include: Sequence[str] = ("ours_fp64", "ours_mixed", "scipy_spsolve",
-                                  "scipy_cg", "pyamg"),
+                                  "scipy_cg", "pyamg", "petsc"),
         runs: int = 3,
     ) -> List[BaselineRow]:
         for n in sizes:
@@ -215,6 +244,8 @@ class PerformanceBaselines:
                 self.run_scipy_gmres(prob, runs)
             if "pyamg" in include:
                 self.run_pyamg(prob, runs)
+            if "petsc" in include:
+                self.run_petsc(prob, runs)
         return self.rows
 
     def complexity_exponents(self) -> Dict[str, float]:

@@ -53,3 +53,4 @@ def test_two_process_sharded_solve():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
     assert "MULTIHOST_OK" in outs[0], outs[0][-3000:]
+    assert "MULTIHOST_HALO_OK" in outs[0], outs[0][-3000:]
