@@ -117,10 +117,11 @@ def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
     )
 
 
-# 'auto' routes 3D smoothing to the rolling-plane pipeline kernel only once
-# it has been Mosaic-compiled and timed on real hardware; backend='pallas'
-# always tries.
-SMOOTH3D_AUTO = False
+# Measured on the v5e chip (scripts/kernel_microbench3d.py, two-K marginal,
+# fp32, per RB-GS sweep): 129^3 XLA 526.8 us vs pipeline 100.7 (5.2x);
+# 257^3 5893.7 vs 1728.5 (3.4x). Mosaic-compiled + numerics-validated on
+# device (reports/hw_validate.json, rel-err 0). Gate ON for 'auto' on TPU.
+SMOOTH3D_AUTO = True
 
 
 def pallas_smooth3d_ok(stencil, u, lev, backend: str, method: str) -> bool:
@@ -150,10 +151,11 @@ def pallas_smooth3d_ok(stencil, u, lev, backend: str, method: str) -> bool:
     return u.size * u.dtype.itemsize >= _MIN_PALLAS_BYTES
 
 
-# 'auto' routes 3D transfers to the fused plane-pipeline kernels only once
-# they are Mosaic-compiled and timed on real hardware; backend='pallas'
-# always tries.
-TRANSFER3D_AUTO = False
+# Measured on the v5e chip (scripts/kernel_microbench3d.py, two-K marginal,
+# fp32, per residual+restrict+prolong+correct pass): 129^3 XLA 474.0 us vs
+# fused pair 169.7 (2.8x); 257^3 12940.7 vs 870.1 (14.9x — the XLA chain's
+# MXU decimation matmuls blow up cubically). Gate ON for 'auto' on TPU.
+TRANSFER3D_AUTO = True
 
 
 def transfer_fused3d_ok(lev, nxt, cfg) -> bool:

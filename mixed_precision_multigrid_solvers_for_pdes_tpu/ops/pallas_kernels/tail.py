@@ -81,6 +81,44 @@ def _tail_kernel(u_ref, f_ref, p_ref, o_ref, *, meta, pre, post, omega,
     o_ref[:] = vcycle(0, u, f).astype(o_ref.dtype)
 
 
+def _tail_kernel_var(*refs, meta, pre, post, omega, method, coarse_sweeps,
+                     symmetric):
+    """Variable-coefficient tail: the five coefficient planes per level are
+    VMEM-resident inputs (they are tiny below 129^2 — the 513^2 streamed-
+    coefficient loss recorded for VARCOEF_AUTO does not apply to these
+    dispatch-bound levels). refs: u, f, 5*L coefficient planes, out."""
+    L = len(meta)
+    u_ref, f_ref = refs[0], refs[1]
+    o_ref = refs[-1]
+    stps = []
+    for l in range(L):
+        nx, ny, px, py = meta[l]
+        c, w, e, s, n = (r[:].astype(jnp.float32)
+                         for r in refs[2 + 5 * l: 7 + 5 * l])
+        unknown, _ = _masks(nx, ny, c.shape)
+        # padding/boundary nodes can hold c == 0; guard the reciprocal
+        # (masked nodes never use the value) — cf. smooth._smooth_kernel_var
+        c = jnp.where(unknown, c, jnp.ones((), jnp.float32))
+        stps.append((c, w, e, s, n))
+
+    def vcycle(lvl, u, f):
+        nx, ny, px, py = meta[lvl]
+        stp = stps[lvl]
+        if lvl == L - 1:
+            return _smooth_n(u, f, stp, nx, ny, coarse_sweeps, 1.0, "rbgs")
+        u = _smooth_n(u, f, stp, nx, ny, pre, omega, method)
+        ncx, ncy, pxc, pyc = meta[lvl + 1]
+        fc = _rr_window(u, f, stp, 0, 0, pxc, nx, ny, ncx, ncy, 0, pyc)
+        ec = vcycle(lvl + 1, jnp.zeros_like(fc), fc)
+        u = _pc_window(ec, u, 0, 0, nx, ny)
+        return _smooth_n(u, f, stp, nx, ny, post, omega, method,
+                         reverse=symmetric)
+
+    u = u_ref[:].astype(jnp.float32)
+    f = f_ref[:].astype(jnp.float32)
+    o_ref[:] = vcycle(0, u, f).astype(o_ref.dtype)
+
+
 def tail_vcycle(
     stencils: Sequence,            # scalar Stencils, finest tail level first
     u,
