@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 from pathlib import Path
 
 import jax
@@ -53,18 +52,7 @@ from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
 )
 
 
-def timed(fn, make_args, *, repeats=3):
-    out = fn(*make_args())
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(repeats):
-        args = make_args()
-        jax.block_until_ready(args)
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+from _marginal import robust_marginal  # noqa: E402  (same directory)
 
 
 def chain(fn, k):
@@ -78,10 +66,13 @@ def chain(fn, k):
     return run
 
 
-def marginal(fn, make_args, k_lo, k_hi, repeats=3):
-    t_lo = timed(chain(fn, k_lo), make_args, repeats=repeats)
-    t_hi = timed(chain(fn, k_hi), make_args, repeats=repeats)
-    return (t_hi - t_lo) / (k_hi - k_lo)
+def marginal(fn, make_args, k_lo, dk):
+    """Guarded two-K marginal (scripts/_marginal.py): median-of-5 repeats,
+    K spread auto-widened past the measured noise floor, never returns a
+    negative value without flagging it (round-3 shipped -4..-130 us rows;
+    VERDICT.md r3 weak #2)."""
+    return robust_marginal(lambda k: chain(fn, k), make_args,
+                           k_lo=k_lo, dk=dk)
 
 
 def _mk_fields(pshape, n):
@@ -118,10 +109,13 @@ def bench_varcoef(sizes, k, results):
                                        method="rbgs", sweeps=1, omega=1.0,
                                        backend=_b)
             try:
-                t = marginal(sweep, _mk_fields(lev.grid.shape_padded, n),
-                             k, k + 64)
-                row[backend] = t
-                print(f"varcoef_sweep_{n} {backend:7s} {t*1e6:9.2f} us",
+                m = marginal(sweep, _mk_fields(lev.grid.shape_padded, n),
+                             k, 64)
+                row[backend] = m.to_dict()
+                print(f"varcoef_sweep_{n} {backend:7s} "
+                      f"{m.per_iter*1e6:9.2f} us  (noise "
+                      f"{m.noise_floor*1e6:.1f} us, dk={m.dk}"
+                      f"{'' if m.ok else ', BELOW NOISE FLOOR'})",
                       flush=True)
             except Exception as e:
                 row[backend] = None
@@ -145,9 +139,12 @@ def bench_tail(sizes, k, results):
             def cyc(u, f, _cfg=cfg, _levels=levels):
                 return mg_mod.mg_cycle(_levels, u, f, _cfg)
             try:
-                t = marginal(cyc, _mk_fields(g.shape_padded, n), k, k + 64)
-                row[backend] = t
-                print(f"tail_cycle_{n}   {backend:7s} {t*1e6:9.2f} us",
+                m = marginal(cyc, _mk_fields(g.shape_padded, n), k, 64)
+                row[backend] = m.to_dict()
+                print(f"tail_cycle_{n}   {backend:7s} "
+                      f"{m.per_iter*1e6:9.2f} us  (noise "
+                      f"{m.noise_floor*1e6:.1f} us, dk={m.dk}"
+                      f"{'' if m.ok else ', BELOW NOISE FLOOR'})",
                       flush=True)
             except Exception as e:
                 row[backend] = None
@@ -168,9 +165,12 @@ def bench_full(sizes, k, results):
             def cyc(u, f, _cfg=cfg, _levels=levels):
                 return mg_mod.mg_cycle(_levels, u, f, _cfg)
             try:
-                t = marginal(cyc, _mk_fields(g.shape_padded, n), k, k + 64)
-                row[backend] = t
-                print(f"full_cycle_{n}   {backend:7s} {t*1e6:9.2f} us",
+                m = marginal(cyc, _mk_fields(g.shape_padded, n), k, 64)
+                row[backend] = m.to_dict()
+                print(f"full_cycle_{n}   {backend:7s} "
+                      f"{m.per_iter*1e6:9.2f} us  (noise "
+                      f"{m.noise_floor*1e6:.1f} us, dk={m.dk}"
+                      f"{'' if m.ok else ', BELOW NOISE FLOOR'})",
                       flush=True)
             except Exception as e:
                 row[backend] = None
@@ -204,8 +204,21 @@ def main():
     if "full" in only:
         bench_full([int(s) for s in args.full_sizes.split(",")],
                    args.k, results)
+    from _marginal import check_rows
+
+    bad = check_rows(results)
+    for b in bad:
+        print(f"# WARNING: {b} did not clear the noise floor", flush=True)
     if args.json:
-        Path(args.json).write_text(json.dumps(results, indent=2))
+        payload = {
+            "protocol": "guarded two-K marginal (scripts/_marginal.py): "
+                        "median of 5 repeats, MAD noise floor, K spread "
+                        "auto-widened to >=4x the floor; rows that never "
+                        "cleared the floor carry ok=false",
+            "rows_below_noise_floor": bad,
+            "results": results,
+        }
+        Path(args.json).write_text(json.dumps(payload, indent=2))
         print(f"wrote {args.json}")
 
 

@@ -344,6 +344,9 @@ def main():
     ap.add_argument("--sizes", default="513,1025,2049")
     ap.add_argument("--sizes3d", default="129,257",
                     help="3D cube sizes; empty string to skip")
+    ap.add_argument("--tail-sizes", default="129",
+                    help="fused coarse-tail entry sizes; empty string to "
+                         "skip (the tail rows force backend='pallas')")
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--peak", type=float, default=819.0,
                     help="nominal HBM peak GB/s (v5e: 819); %% columns use "
@@ -352,16 +355,14 @@ def main():
     args = ap.parse_args()
 
     results = {}
-    raw = {}
     cases = [(int(s), measure) for s in args.sizes.split(",") if s]
-    cases += [(129, measure_tail)]
+    cases += [(int(s), measure_tail) for s in args.tail_sizes.split(",") if s]
     cases += [(int(s), measure3d) for s in args.sizes3d.split(",") if s]
     for n, measure_fn in cases:
         k_lo, k_hi = args.k, args.k * 9
         if measure_fn is measure3d:
             k_lo, k_hi = max(4, args.k // 8), max(16, args.k)
         rows = measure_fn(n, k_lo, k_hi)
-        raw[n if measure_fn is measure else str(n)] = rows
         key = (n if measure_fn is measure
                else f"tail^{n}" if measure_fn is measure_tail else f"{n}^3")
         results[key] = {

@@ -160,11 +160,20 @@ def main():
     ap.add_argument("--out", default="reports")
     ap.add_argument("--baselines", action="store_true",
                     help="also run scipy/pyamg external baselines (CPU)")
+    ap.add_argument("--xl", action="store_true",
+                    help="add the 4097^2 row (single-chip HBM stretch)")
+    ap.add_argument("--heat-steps", type=int, default=1000,
+                    help="implicit steps for the 1025^2 heat row "
+                         "(BASELINE config 4 is 1000)")
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    sizes = (129, 257) if args.quick else (129, 257, 513, 1025)
+    # 2049^2 is the reference's headline scaling size
+    # (reference docs/results.md:271-272,358-384)
+    sizes = (129, 257) if args.quick else (129, 257, 513, 1025, 2049)
+    if args.xl:
+        sizes = sizes + (4097,)
     cfg = MultigridConfig(smoother="rbgs", omega=1.0, tol=1e-8)
 
     suite = BenchmarkSuite(P.poisson_mms_sinsin, cfg)
@@ -175,7 +184,10 @@ def main():
     heat = [heat_stepping_bench(129 if args.quick else 513,
                                 50 if args.quick else 200)]
     if not args.quick:
-        heat.append(heat_stepping_bench(1025, 100))
+        # BASELINE config 4 at full scale: 1025^2 x 1000 implicit steps
+        # (reference docs/results.md:116-123,487: 8.3 MG iters/step; ours
+        # runs ONE V(2,2) cycle per step at a fixed budget)
+        heat.append(heat_stepping_bench(1025, args.heat_steps))
     report["heat_stepping"] = heat
 
     if args.quick:
