@@ -63,6 +63,109 @@ WHOLE_GRID_BYTES = 2_100_000
 WHOLE_GRID_BYTES_VAR = 1_100_000
 
 
+# ---------------------------------------------------------------------------
+# parity-plane (checkerboard-split) sweep body
+# ---------------------------------------------------------------------------
+#
+# RB-GS in the direct layout pays twice: every color update computes the
+# full-width Gauss-Seidel value at ALL points and discards half through the
+# color mask, and every neighbor sum moves full-width rolls. Splitting the
+# window into its four parity planes P[a][b](i,j) = u(2i+a, 2j+b) makes the
+# red points exactly {ee, oo} and the black points {eo, oe}: each color
+# update touches only its own half of the data with half-width rolls — ~2x
+# less VPU work per sweep (measured: 1.35 vs 2.75 us/sweep at 513^2 fp32,
+# scripts/kernel_microbench.py pallas_parity vs pallas_roll). The split and
+# merge run in VMEM via the transpose trick (lane-dim stride-2 is illegal
+# in Mosaic; transposes are not — same device-proven pattern as
+# transfer._lane_decimate) and amortize over the in-kernel sweeps.
+# Replaces the reference's color-masked CUDA RB-GS at the layout level
+# (reference gpu/cuda_kernels.py:147-211 evaluates the color mask per
+# thread and idles half the warp per color).
+
+
+def _lane_split(x):
+    """(h, py) -> even-lane/odd-lane halves (h, py//2) via transpose +
+    sublane split-reshape + transpose (all Mosaic-legal)."""
+    h, py = x.shape
+    t = x.T
+    v = t.reshape(py // 2, 2, h)
+    return v[:, 0].T, v[:, 1].T
+
+
+def _lane_merge(a, b):
+    """Inverse of _lane_split: interleave two (h, hy) halves -> (h, 2*hy)."""
+    h, hy = a.shape
+    t = jnp.stack([a.T, b.T], axis=1)      # (hy, 2, h)
+    return t.reshape(2 * hy, h).T
+
+
+def _split_parity(x):
+    """(rows, py) -> parity planes (ee, eo, oe, oo), each (rows//2, py//2);
+    plane (a, b) holds x[2i+a, 2j+b]. rows and py must be even (all padded
+    window shapes are)."""
+    rows, py = x.shape
+    v = x.reshape(rows // 2, 2, py)        # sublane split (legal)
+    ee, eo = _lane_split(v[:, 0])
+    oe, oo = _lane_split(v[:, 1])
+    return ee, eo, oe, oo
+
+
+def _merge_parity(ee, eo, oe, oo):
+    rows2, _ = ee.shape
+    E = _lane_merge(ee, eo)
+    O = _lane_merge(oe, oo)
+    return jnp.stack([E, O], axis=1).reshape(2 * rows2, E.shape[1])
+
+
+def _parity_sweeps(u, f, gi0, nx, ny, stp, omega, method, sweeps):
+    """``sweeps`` RB-GS/SOR sweeps on the parity planes of window ``u``.
+
+    ``gi0`` is the global fine row of window row 0 (even; python int or
+    traced int32 — window starts are 8-aligned so global parity lines up
+    with plane identity). Bit-exact vs the direct-layout body: identical
+    per-point arithmetic and operand order, so fp32 results match the XLA
+    smoother exactly."""
+    c, w, e, s, n = stp
+    inv_c = 1.0 / c
+    om = omega
+    rows, py = u.shape
+    hx, hy = rows // 2, py // 2
+    ii = jax.lax.broadcasted_iota(jnp.int32, (hx, hy), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (hx, hy), 1)
+
+    def unk(a, b):
+        gi = gi0 + 2 * ii + a
+        gj = 2 * jj + b
+        return (gi > 0) & (gi < nx - 1) & (gj > 0) & (gj < ny - 1)
+
+    m_ee, m_eo, m_oe, m_oo = unk(0, 0), unk(0, 1), unk(1, 0), unk(1, 1)
+    fee, feo, foe, foo = _split_parity(f)
+
+    def upd(p, mask, gs):
+        return jnp.where(mask, p + om * (gs - p), p)
+
+    def sweep(planes):
+        ee, eo, oe, oo = planes
+        # red = {ee, oo} (global (i+j) even), then black reads fresh red
+        ee = upd(ee, m_ee,
+                 (fee + (w * jnp.roll(oe, 1, 0) + e * oe
+                         + s * jnp.roll(eo, 1, 1) + n * eo)) * inv_c)
+        oo = upd(oo, m_oo,
+                 (foo + (w * eo + e * jnp.roll(eo, -1, 0)
+                         + s * oe + n * jnp.roll(oe, -1, 1))) * inv_c)
+        oe = upd(oe, m_oe,
+                 (foe + (w * ee + e * jnp.roll(ee, -1, 0)
+                         + s * jnp.roll(oo, 1, 1) + n * oo)) * inv_c)
+        eo = upd(eo, m_eo,
+                 (feo + (w * jnp.roll(oo, 1, 0) + e * oo
+                         + s * ee + n * jnp.roll(ee, -1, 1))) * inv_c)
+        return ee, eo, oe, oo
+
+    planes = jax.lax.fori_loop(0, sweeps, lambda _, p: sweep(p),
+                               _split_parity(u))
+    return _merge_parity(*planes)
+
+
 def _sweep_body(f, unknown, red, c, w, e, s, n, omega, method):
     """One smoothing sweep u -> u on a VMEM-resident array (+halo context).
 
@@ -101,10 +204,17 @@ def _sweep_body(f, unknown, red, c, w, e, s, n, omega, method):
 # ---------------------------------------------------------------------------
 
 def _smooth_kernel(u_ref, f_ref, p_ref, o_ref, *, nx, ny, sweeps, omega,
-                   method):
+                   method, parity=False):
     compute_dtype = jnp.float32
     c, w, e, s, n = (p_ref[0, k] for k in range(5))
     om = jnp.asarray(omega, compute_dtype)
+
+    if parity and method != "jacobi":
+        u = _parity_sweeps(
+            u_ref[:].astype(compute_dtype), f_ref[:].astype(compute_dtype),
+            0, nx, ny, (c, w, e, s, n), om, method, sweeps)
+        o_ref[:] = u.astype(o_ref.dtype)
+        return
 
     px, py = u_ref.shape
     i = jax.lax.broadcasted_iota(jnp.int32, (px, py), 0)
@@ -145,6 +255,25 @@ def _smooth_kernel_var(u_ref, f_ref, c_ref, w_ref, e_ref, s_ref, n_ref,
     o_ref[:] = u.astype(o_ref.dtype)
 
 
+# Parity-plane layout for RB-GS-family sweeps inside the kernels (see
+# _parity_sweeps). Prototype measured 1.35 vs 2.75 us/sweep at 513^2 fp32
+# (scripts/kernel_microbench.py pallas_parity, pre-split planes); the
+# production default is flipped by measured two-K data for the in-kernel
+# split variant (reports/gate_microbench.json). layout='direct' keeps the
+# old body for A/B.
+PARITY_DEFAULT = False
+
+
+def _resolve_parity(layout: str, method: str, varcoef: bool) -> bool:
+    if varcoef or method == "jacobi":
+        return False  # direct body only (coefficient planes stay unsplit)
+    if layout == "parity":
+        return True
+    if layout == "direct":
+        return False
+    return PARITY_DEFAULT
+
+
 def multisweep(
     st: Stencil,
     u,
@@ -155,9 +284,14 @@ def multisweep(
     method: str = "rbgs",
     sweeps: int = 2,
     omega: float = 1.0,
+    layout: str = "auto",
     interpret: bool = False,
 ):
     """Run ``sweeps`` smoothing sweeps with the whole grid VMEM-resident.
+
+    ``layout`` selects the in-kernel data layout for RB-GS-family methods:
+    'parity' (checkerboard-split planes, ~2x less VPU work per sweep),
+    'direct' (full-width color-masked updates), or 'auto' (PARITY_DEFAULT).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (any
     backend) — used by CPU tests to pin the kernel's numerics against the
@@ -183,6 +317,7 @@ def multisweep(
     kernel = partial(
         _smooth_kernel, nx=nx, ny=ny, sweeps=int(sweeps),
         omega=float(omega), method=method,
+        parity=_resolve_parity(layout, method, varcoef=False),
     )
     return pl.pallas_call(
         kernel,
@@ -203,7 +338,7 @@ def multisweep(
 # ---------------------------------------------------------------------------
 
 def _strips_kernel(*refs, px, py, nx, ny, sweeps, omega, method, strip, halo,
-                   n_loop, t0, wst, wt, n_in):
+                   n_loop, t0, wst, wt, n_in, parity=False):
     """Double-buffered fori over the first ``n_loop`` sublane strips, then a
     statically-coded tail window for the last strip + row remainder.
 
@@ -258,6 +393,19 @@ def _strips_kernel(*refs, px, py, nx, ny, sweeps, omega, method, strip, halo,
         c = jnp.where(unknown, vals[2], jnp.ones((), compute_dtype))
         return (c,) + tuple(vals[3:7])
 
+    def run_sweeps(vals, gi0, shape):
+        """All in-window sweeps; parity-plane body on the scalar-stencil
+        path (window starts are 8-aligned, so ``gi0`` is even and global
+        parity lines up with plane identity)."""
+        if parity and n_in == 2:
+            stp = tuple(p_ref[0, k] for k in range(5))
+            return _parity_sweeps(vals[0], vals[1], gi0, nx, ny, stp, om,
+                                  method, sweeps)
+        unknown, red = make_masks(gi0, shape)
+        c, w, e, s, n = window_coefs(vals, unknown)
+        sweep = _sweep_body(vals[1], unknown, red, c, w, e, s, n, om, method)
+        return jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u), vals[0])
+
     if n_loop > 0:
         for d in in_dma(0, 0):
             d.start()
@@ -274,11 +422,8 @@ def _strips_kernel(*refs, px, py, nx, ny, sweeps, omega, method, strip, halo,
         for d in in_dma(slot, k):
             d.wait()
 
-        unknown, red = make_masks(win_start(k), (win, py))
         vals = [wb[slot].astype(compute_dtype) for wb in ws]
-        c, w, e, s, n = window_coefs(vals, unknown)
-        sweep = _sweep_body(vals[1], unknown, red, c, w, e, s, n, om, method)
-        u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u), vals[0])
+        u = run_sweeps(vals, win_start(k), (win, py))
 
         # exact interior of this strip: global rows [k*strip, k*strip+strip);
         # window offset is 0 for the first strip, halo otherwise (Mosaic
@@ -327,11 +472,8 @@ def _strips_kernel(*refs, px, py, nx, ny, sweeps, omega, method, strip, halo,
         d.start()
     for d in tail_dma():
         d.wait()
-    unknown, red = make_masks(wst, (wt, py))
     vals = [tw[:].astype(compute_dtype) for tw in tws]
-    c, w, e, s, n = window_coefs(vals, unknown)
-    sweep = _sweep_body(vals[1], unknown, red, c, w, e, s, n, om, method)
-    u = jax.lax.fori_loop(0, sweeps, lambda _, u: sweep(u), vals[0])
+    u = run_sweeps(vals, wst, (wt, py))
     tw_u = tws[0]
     off = t0 - wst
     tw_u[:] = u.astype(tw_u.dtype)
@@ -360,6 +502,7 @@ def multisweep_strips(
     sweeps: int = 2,
     omega: float = 1.0,
     strip: int = 128,
+    layout: str = "auto",
     interpret: bool = False,
 ):
     """Strip-tiled multisweep for levels beyond whole-grid VMEM residency.
@@ -385,7 +528,8 @@ def multisweep_strips(
     if n_strips < 2 or strip < halo:
         # fits in (or nearly in) one window -> whole-grid kernel instead
         return multisweep(st, u, f, nx=nx, ny=ny, method=method,
-                          sweeps=sweeps, omega=omega, interpret=interpret)
+                          sweeps=sweeps, omega=omega, layout=layout,
+                          interpret=interpret)
     # loop strips: k in [0, n_loop); tail covers [t0, px)
     n_loop = n_strips - 1
     t0 = n_loop * strip
@@ -396,6 +540,7 @@ def multisweep_strips(
         _strips_kernel, px=px, py=py, nx=nx, ny=ny, sweeps=int(sweeps),
         omega=float(omega), method=method, strip=int(strip), halo=halo,
         n_loop=n_loop, t0=t0, wst=wst, wt=wt, n_in=n_in,
+        parity=_resolve_parity(layout, method, varcoef=varcoef),
     )
     if varcoef:
         coefs = tuple(jnp.broadcast_to(jnp.asarray(x), u.shape)

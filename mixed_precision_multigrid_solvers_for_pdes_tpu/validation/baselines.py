@@ -201,18 +201,30 @@ class PerformanceBaselines:
                                          0, float("nan"), None, available=False))
             return None
 
+        cache: Dict[str, Any] = {}
+
         def f(A, b, box):
             from petsc4py import PETSc
 
-            csr = A.tocsr()
-            Ap = PETSc.Mat().createAIJ(size=csr.shape,
-                                       csr=(csr.indptr, csr.indices, csr.data))
-            ksp = PETSc.KSP().create()
-            ksp.setOperators(Ap)
-            ksp.setType("cg")
-            ksp.getPC().setType("gamg")
-            ksp.setTolerances(rtol=self.cfg.tol, max_it=20000)
-            xb, bb = Ap.createVecs()
+            if not cache:
+                # assemble the AIJ matrix and the KSP/GAMG hierarchy ONCE
+                # (outside the timed repeats): the ours_* rows time hot
+                # solves, so the petsc row must too — the first (untimed)
+                # warmup call in _scipy_result pays the setup.
+                csr = A.tocsr()
+                Ap = PETSc.Mat().createAIJ(
+                    size=csr.shape, csr=(csr.indptr, csr.indices, csr.data))
+                ksp = PETSc.KSP().create()
+                ksp.setOperators(Ap)
+                ksp.setType("cg")
+                ksp.getPC().setType("gamg")
+                ksp.setTolerances(rtol=self.cfg.tol, max_it=20000)
+                ksp.setUp()
+                cache["ksp"] = ksp
+                cache["vecs"] = Ap.createVecs()
+            ksp = cache["ksp"]
+            xb, bb = cache["vecs"]
+            xb.set(0.0)
             bb.setArray(b)
             ksp.solve(bb, xb)
             return xb.getArray().copy(), ksp.getIterationNumber()

@@ -8,7 +8,11 @@ passes in smaller batches and individually, so it is an XLA/host issue, not
 a library bug). Batching by directory keeps each process's compiled-program
 count bounded and has been reliable.
 
-Usage: python scripts/run_tests.py [extra pytest args...]
+By default the ~14 `slow`-marked ladder/robustness cases (~11 min of the
+~40-min full run on the 1-core host) are deselected; pass ``--all`` to run
+everything (do this at least once before a round ends).
+
+Usage: python scripts/run_tests.py [--all] [extra pytest args...]
 """
 
 import subprocess
@@ -42,6 +46,10 @@ if _extra_batch:
 
 def main() -> int:
     extra = sys.argv[1:]
+    if "--all" in extra:
+        extra = [a for a in extra if a != "--all"]
+    else:
+        extra = ["-m", "not slow", *extra]
     failed = False
     for batch in BATCHES:
         cmd = [sys.executable, "-m", "pytest", "-q", *batch, *extra]

@@ -80,6 +80,7 @@ class TestHeatPipeline:
         out = solve_heat3d(prob, t_final=0.01, dt=0.002, cfg=cfg)
         assert out["errors"]["l2"] < 5e-3
 
+    @pytest.mark.slow
     def test_heat3d_bdf2_beats_backward_euler(self):
         """BDF2 (order 2, CN bootstrap) vs BE (order 1) at the same dt."""
         from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat3d import (
@@ -148,6 +149,7 @@ class TestPrecisionAnalysisPipeline:
 
 
 class TestHeat3DCheckpoint:
+    @pytest.mark.slow
     def test_checkpoint_resume_bdf2_3d(self, tmp_path):
         """3D kill-and-resume: interrupted run (checkpoint at step 6 of 10)
         resumed to completion matches a straight-through run bit-for-bit,

@@ -137,6 +137,7 @@ class TestConvergence:
         assert info_g["convergence_factor"] < 0.11
         assert info_g["convergence_factor"] < info_r["convergence_factor"]
 
+    @pytest.mark.slow
     def test_extreme_jump_1e6(self):
         prob = P.jump_coefficient_problem(129, ratio=1e6)
         _, _, info = _solve(prob, _cfg(cycle="W"))
@@ -164,6 +165,7 @@ class TestConvergence:
         _, u, info = _solve(prob, _cfg())
         assert info["converged"]
 
+    @pytest.mark.slow
     def test_fmg_galerkin(self):
         """FMG initialization composes with Galerkin hierarchies."""
         prob = P.jump_coefficient_problem(65)

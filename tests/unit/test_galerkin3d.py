@@ -79,6 +79,7 @@ def test_constant_coefficient_poisson():
     assert prob.error_norms(u)["l2"] < 2e-3
 
 
+@pytest.mark.slow
 def test_jump_coefficient3d():
     prob = P3.jump_coefficient3d(33)
     _, _, info_g = _solve(prob, _cfg())
@@ -108,6 +109,7 @@ def test_periodic_rejected():
                               dtype="float64", cfg=_cfg())
 
 
+@pytest.mark.slow
 def test_ir_solve3d_galerkin_fp32():
     from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid3d import (
         ir_solve3d,
@@ -122,6 +124,7 @@ def test_ir_solve3d_galerkin_fp32():
     assert info["converged"]
 
 
+@pytest.mark.slow
 def test_galerkin3d_mg_preconditioned_krylov():
     """27-point Galerkin coarse hierarchy as a CG/GMRES preconditioner in 3D:
     symmetric cycles keep PCG safe on the 1e3:1 jump problem; flexible GMRES

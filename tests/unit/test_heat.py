@@ -173,6 +173,7 @@ class TestVariableStepBDF2:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-13)
 
+    @pytest.mark.slow
     def test_adaptive_bdf2_reaches_tolerance(self):
         prob = HP.oscillating(33)
         cfg = HeatConfig(

@@ -316,6 +316,7 @@ class TestPoisson3DFrontend:
         assert res.info["residual_norm"] <= 1e-11 * max(
             res.info["rhs_norm"], res.info["initial_residual_norm"])
 
+    @pytest.mark.slow
     def test_solve_poisson3d_sharded_matches_single(self):
         from mixed_precision_multigrid_solvers_for_pdes_tpu import parallel
         from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
@@ -346,6 +347,7 @@ class TestPoisson3DFrontend:
         assert 1.8 < st["order_l2"] < 2.2
         assert 1.8 < st["order_h1"] < 2.2
 
+    @pytest.mark.slow
     def test_solve_poisson3d_adaptive(self):
         """Staged promotion in 3D: fp32 chunks then IR finish to 1e-10."""
         from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (

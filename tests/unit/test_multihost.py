@@ -28,6 +28,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_sharded_solve():
     port = _free_port()
     env = dict(os.environ)

@@ -145,6 +145,88 @@ def test_multisweep_strips_degenerate_single_window():
 
 
 # ---------------------------------------------------------------------------
+# parity-plane layout (interpret mode)
+# ---------------------------------------------------------------------------
+
+
+def _dirichlet_fields(n, seed):
+    g = Grid(n, n)
+    st = st_mod.make_stencil(g, dtype=jnp.float32)
+    unknown = bc_mod.unknown_mask(g.nx, g.ny, g.shape_padded,
+                                  bc_mod.dirichlet())
+    rng = np.random.default_rng(seed)
+    f = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32)
+                    * np.asarray(unknown))
+    u0 = jnp.asarray(rng.standard_normal(g.shape_padded).astype(np.float32)
+                     * np.asarray(unknown))
+    return g, st, unknown, f, u0
+
+
+@pytest.mark.parametrize("sweeps,omega", [(1, 1.0), (2, 1.0), (3, 1.3)])
+def test_parity_whole_grid_bit_matches_direct(sweeps, omega):
+    """The parity-plane body computes the identical arithmetic in the
+    identical order as the direct color-masked body — results must be
+    BITWISE equal, not merely close (smooth._parity_sweeps contract)."""
+    g, st, unknown, f, u0 = _dirichlet_fields(33, 41)
+    kw = dict(nx=g.nx, ny=g.ny, method="rbgs", sweeps=sweeps, omega=omega,
+              interpret=True)
+    direct = psmooth.multisweep(st, u0, f, layout="direct", **kw)
+    par = psmooth.multisweep(st, u0, f, layout="parity", **kw)
+    assert np.array_equal(np.asarray(direct), np.asarray(par))
+
+
+@pytest.mark.parametrize("n,strip,sweeps", [(65, 16, 2), (65, 8, 1),
+                                            (129, 24, 2)])
+def test_parity_strips_bit_matches_direct(n, strip, sweeps):
+    """Strip seams, clamped first window and the static tail window must
+    all line up between the parity and direct layouts (window starts are
+    8-aligned, so plane identity matches global parity everywhere)."""
+    g, st, unknown, f, u0 = _dirichlet_fields(n, 43)
+    kw = dict(nx=g.nx, ny=g.ny, method="rbgs", sweeps=sweeps, omega=1.0,
+              strip=strip, interpret=True)
+    direct = psmooth.multisweep_strips(st, u0, f, layout="direct", **kw)
+    par = psmooth.multisweep_strips(st, u0, f, layout="parity", **kw)
+    assert np.array_equal(np.asarray(direct), np.asarray(par))
+
+
+def test_parity_matches_xla_smoother():
+    """End-to-end: parity kernel vs the XLA RB-GS path (exact at omega=1)."""
+    g, st, unknown, f, u0 = _dirichlet_fields(65, 47)
+    ref = smooth_mod.smooth(st, u0, f, unknown, method="rbgs", sweeps=2,
+                            omega=1.0)
+    got = psmooth.multisweep_strips(st, u0, f, nx=g.nx, ny=g.ny,
+                                    method="rbgs", sweeps=2, omega=1.0,
+                                    strip=16, layout="parity",
+                                    interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_parity_preserves_boundary_and_padding():
+    g, st, unknown, f, u0 = _dirichlet_fields(33, 53)
+    got = np.asarray(psmooth.multisweep(st, u0, f, nx=g.nx, ny=g.ny,
+                                        method="rbgs", sweeps=2,
+                                        layout="parity", interpret=True))
+    assert np.all(got[0, :] == 0) and np.all(got[g.nx - 1, : g.ny] == 0)
+    assert np.all(got[:, 0] == 0) and np.all(got[: g.nx, g.ny - 1] == 0)
+    assert np.all(got[g.nx:, :] == 0) and np.all(got[:, g.ny:] == 0)
+
+
+def test_parity_split_merge_roundtrip():
+    """_split_parity/_merge_parity are exact inverses on any even-padded
+    window (plain jnp ops — runs outside a kernel too)."""
+    rng = np.random.default_rng(59)
+    x = jnp.asarray(rng.standard_normal((24, 256)).astype(np.float32))
+    planes = psmooth._split_parity(x)
+    assert planes[0].shape == (12, 128)
+    back = psmooth._merge_parity(*planes)
+    assert np.array_equal(np.asarray(back), np.asarray(x))
+    # plane (a, b) holds x[2i+a, 2j+b]
+    xs = np.asarray(x)
+    for p, (a, b) in zip(planes, [(0, 0), (0, 1), (1, 0), (1, 1)]):
+        assert np.array_equal(np.asarray(p), xs[a::2, b::2])
+
+
+# ---------------------------------------------------------------------------
 # fused transfer kernels (interpret mode)
 # ---------------------------------------------------------------------------
 

@@ -182,7 +182,11 @@ class TestShardedHeat:
         return HeatConfig(scheme=scheme, cycles_per_step=2, dtype="float64",
                           mg=CFG)
 
-    @pytest.mark.parametrize("scheme", ["crank_nicolson", "bdf2", "explicit"])
+    @pytest.mark.parametrize("scheme", [
+        "crank_nicolson",
+        pytest.param("bdf2", marks=pytest.mark.slow),
+        "explicit",
+    ])
     def test_matches_single_device(self, mesh, scheme):
         from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.heat import (
             solve_heat,
@@ -231,7 +235,11 @@ class TestShardedFrontend:
     """solve_poisson(mesh=...) must match the unsharded result in every
     precision mode (uniform / mixed-IR / adaptive)."""
 
-    @pytest.mark.parametrize("precision", ["fp64", "mixed", "adaptive"])
+    @pytest.mark.parametrize("precision", [
+        "fp64",
+        "mixed",
+        pytest.param("adaptive", marks=pytest.mark.slow),
+    ])
     def test_matches_single_device(self, mesh, precision):
         from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.poisson import (
             solve_poisson,

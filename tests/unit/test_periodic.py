@@ -133,6 +133,7 @@ class TestCyclicLines:
             assert (np.linalg.norm(A @ x[k] - b[k])
                     < 1e-10 * np.linalg.norm(b[k]))
 
+    @pytest.mark.slow
     def test_periodic_adi_multigrid(self):
         """Line/ADI smoothing across periodic seams (cyclic tridiagonal via
         Sherman-Morrison over PCR)."""
