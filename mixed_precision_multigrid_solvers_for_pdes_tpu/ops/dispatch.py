@@ -259,6 +259,13 @@ def prolong_correct(lev, nxt, ec, u):
 # 128 us ('auto' without tail) -> 73 us with it. Gate ON for auto on TPU.
 TAIL_AUTO = True
 
+# Variable-coefficient tails (ops/pallas_kernels/tail.py::tail_vcycle_var):
+# every level's five coefficient planes VMEM-resident. OFF until the two-K
+# hardware numbers land in reports/gate_microbench.json (the streamed-
+# coefficient smoother gate VARCOEF_AUTO measured a loss; these levels are
+# dispatch-bound, so the tradeoff differs) — backend='pallas' exercises it.
+TAILVAR_AUTO = False
+
 
 def tail_ok(levels, lvl, cfg, cycle_type) -> bool:
     """True when the whole V-recursion from ``lvl`` down may be replaced by
@@ -290,10 +297,11 @@ def tail_ok(levels, lvl, cfg, cycle_type) -> bool:
     if jnp.dtype(entry.dtype) not in (jnp.dtype(jnp.float32),
                                       jnp.dtype(jnp.bfloat16)):
         return False
+    varcoef = any(jnp.ndim(lev.stencil.c) != 0 for lev in levels[lvl:])
+    if varcoef and backend == "auto" and not TAILVAR_AUTO:
+        return False
     for lev in levels[lvl:]:
         if isinstance(lev.stencil, Stencil9):
-            return False
-        if jnp.ndim(lev.stencil.c) != 0:
             return False
         if lev.domain is not None:
             return False
@@ -315,7 +323,10 @@ def tail_vcycle(levels, lvl, u, f, cfg):
     method = cfg.smoother
     if method in ("gauss_seidel", "red_black"):
         method = "rbgs"
-    return ptail.tail_vcycle(
+    fn = (ptail.tail_vcycle_var
+          if any(jnp.ndim(lev.stencil.c) != 0 for lev in tail)
+          else ptail.tail_vcycle)
+    return fn(
         [lev.stencil for lev in tail], u, f, meta=meta,
         pre=cfg.pre_sweeps, post=cfg.post_sweeps, omega=cfg.omega,
         method=method, coarse_sweeps=cfg.coarse_sweeps,

@@ -256,11 +256,25 @@ def _smooth_kernel_var(u_ref, f_ref, c_ref, w_ref, e_ref, s_ref, n_ref,
 
 
 # Parity-plane layout for RB-GS-family sweeps inside the kernels (see
-# _parity_sweeps). Prototype measured 1.35 vs 2.75 us/sweep at 513^2 fp32
-# (scripts/kernel_microbench.py pallas_parity, pre-split planes); the
-# production default is flipped by measured two-K data for the in-kernel
-# split variant (reports/gate_microbench.json). layout='direct' keeps the
-# old body for A/B.
+# _parity_sweeps). MEASURED RESULT (v5e, round 4): the production variant
+# LOSES — gate stays off. The round-2 prototype measured 1.35 vs 2.75
+# us/sweep at 513^2 on PRE-SPLIT planes with K sweeps amortizing the split;
+# in production each 2-sweep call pays the in-VMEM split/merge (u, f in;
+# u out — ~18 transpose-trick passes), and the guarded two-K data
+# (readback-synced protocol, scripts/_marginal.py) shows:
+#   strips/sweep @1025^2: direct 17.3 us vs parity 35.5 (sweeps=2)
+#   strips/sweep @2049^2: direct 71.6 us vs parity 188.7
+#   full V(2,2) cycle @1025^2: direct 204 us vs parity 267 (same session;
+#   absolute numbers that session ran ~3x round-3's — the RELATIVE loss is
+#   the datum). Even the in-kernel marginal sweep (4-sweep minus 2-sweep)
+#   measured ~17 vs ~11.8 us — the half-width planes do not out-run the
+#   direct body under Mosaic at these shapes (576-lane planes occupy 4.5
+#   vregs; 4-plane loop carries add copies).
+# The unclaimed remainder of the prototype win would need HBM-RESIDENT
+# plane storage (split once per solve, parity-native transfer kernels) —
+# recorded as future work in docs/DESIGN.md. layout='parity' stays
+# available (bit-exact, hardware-validated: reports/hw_validate.json
+# parity_smooth_* rel-err 0.0) for A/B and future re-evaluation.
 PARITY_DEFAULT = False
 
 

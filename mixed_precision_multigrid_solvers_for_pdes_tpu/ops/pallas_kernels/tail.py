@@ -119,6 +119,54 @@ def _tail_kernel_var(*refs, meta, pre, post, omega, method, coarse_sweeps,
     o_ref[:] = vcycle(0, u, f).astype(o_ref.dtype)
 
 
+def tail_vcycle_var(
+    stencils: Sequence,            # Stencils with 2-d leaves, finest first
+    u,
+    f,
+    *,
+    meta: Tuple[Tuple[int, int, int, int], ...],  # (nx, ny, px, py) per level
+    pre: int,
+    post: int,
+    omega: float,
+    method: str = "rbgs",
+    coarse_sweeps: int = 32,
+    symmetric: bool = False,
+    interpret: bool = False,
+):
+    """Variable-coefficient fused coarse tail: one V(pre,post) cycle over the
+    whole tail with the five coefficient planes of EVERY level VMEM-resident.
+
+    Unlike the streamed-coefficient strip smoother (whose 'auto' gate is off
+    — the coefficient traffic loses at 513^2), the tail levels are tiny and
+    dispatch-bound: varcoef/Helmholtz-with-array-coefficient cycles
+    otherwise pay the same ~60 us XLA coarse recursion as the scalar path
+    (round-3 VERDICT item 3). Scalar leaves are broadcast, so mixed
+    scalar/array hierarchies work. Routing: ops/dispatch.tail_ok
+    (TAILVAR_AUTO gate) + dispatch.tail_vcycle."""
+    L = len(meta)
+    if L != len(stencils):
+        raise ValueError("one stencil per tail level required")
+    coef_inputs = []
+    for st, m in zip(stencils, meta):
+        px, py = int(m[2]), int(m[3])
+        for x in (st.c, st.w, st.e, st.s, st.n):
+            coef_inputs.append(
+                jnp.broadcast_to(jnp.asarray(x, jnp.float32), (px, py)))
+    kernel = partial(
+        _tail_kernel_var, meta=tuple(tuple(int(x) for x in m) for m in meta),
+        pre=int(pre), post=int(post), omega=float(omega), method=method,
+        coarse_sweeps=int(coarse_sweeps), symmetric=bool(symmetric),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + 5 * L),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(u, f, *coef_inputs)
+
+
 def tail_vcycle(
     stencils: Sequence,            # scalar Stencils, finest tail level first
     u,

@@ -50,17 +50,25 @@ class Marginal:
         }
 
 
+def _sync(out):
+    """Force completion by READBACK, not block_until_ready: on the axon
+    tunnel block_until_ready can return before remote execution finishes
+    (measured 2026-08-20: a 64-sweep kernel 'blocked' in 0.10 ms and only a
+    device_get paid the real compute), which silently zeroes marginals."""
+    jax.tree_util.tree_map(jax.device_get, out)
+
+
 def _timed_median(fn, make_args, repeats: int):
     """Median wall time + MAD over `repeats` runs with fresh inputs."""
     out = fn(*make_args())
-    jax.block_until_ready(out)  # compile outside the timed region
+    _sync(out)  # compile outside the timed region
     ts = []
     for _ in range(repeats):
         args = make_args()
-        jax.block_until_ready(args)
+        _sync(args)
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         ts.append(time.perf_counter() - t0)
     ts = np.asarray(ts)
     med = float(np.median(ts))

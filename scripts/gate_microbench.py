@@ -18,6 +18,8 @@ Rows:
   varcoef_sweep_{n}  : one variable-coefficient RB-GS sweep, XLA vs Pallas
   tail_cycle_{n}     : one V(2,2) cycle from entry n^2 to the coarsest level,
                        XLA recursion (~6 ops/level) vs single fused kernel
+  tailvar_cycle_{n}  : same, variable-coefficient hierarchy (tail_vcycle_var
+                       with VMEM-resident coefficient planes; TAILVAR_AUTO)
   full_cycle_{n}     : one V(2,2) cycle at a production size whose coarse
                        tail the kernel would absorb (auto routing vs
                        backend='pallas' end to end)
@@ -153,29 +155,119 @@ def bench_tail(sizes, k, results):
         results[f"tail_cycle_{n}"] = row
 
 
-def bench_full(sizes, k, results):
+def bench_tailvar(sizes, k, results):
+    """Variable-coefficient fused tail (tail_vcycle_var) vs the XLA coarse
+    recursion — the TAILVAR_AUTO gate data (round-3 VERDICT item 3)."""
     for n in sizes:
-        g = Grid(n, n)
         row = {}
-        for backend in ("auto", "pallas"):
+        for backend in ("xla", "pallas"):
             cfg = MultigridConfig(smoother="rbgs", omega=1.0,
                                   backend=backend)
-            levels = mg_mod.build_hierarchy(g, dtype=jnp.float32, cfg=cfg)
+            levels = _varcoef_levels(n, cfg)
+            if backend == "pallas":
+                assert dispatch.tail_ok(levels, 0, cfg, "V"), \
+                    f"varcoef tail gate rejects entry {n}"
 
             def cyc(u, f, _cfg=cfg, _levels=levels):
                 return mg_mod.mg_cycle(_levels, u, f, _cfg)
             try:
-                m = marginal(cyc, _mk_fields(g.shape_padded, n), k, 64)
+                m = marginal(cyc, _mk_fields(levels[0].grid.shape_padded, n),
+                             k, 64)
                 row[backend] = m.to_dict()
-                print(f"full_cycle_{n}   {backend:7s} "
+                print(f"tailvar_cycle_{n} {backend:7s} "
                       f"{m.per_iter*1e6:9.2f} us  (noise "
                       f"{m.noise_floor*1e6:.1f} us, dk={m.dk}"
                       f"{'' if m.ok else ', BELOW NOISE FLOOR'})",
                       flush=True)
             except Exception as e:
                 row[backend] = None
-                print(f"full_cycle_{n}   {backend:7s} FAILED "
+                print(f"tailvar_cycle_{n} {backend:7s} FAILED "
                       f"{type(e).__name__}: {e}", flush=True)
+        results[f"tailvar_cycle_{n}"] = row
+
+
+def bench_tail3d(sizes, k, results):
+    """3D coarse-recursion cost from a small cube entry (round-3 VERDICT
+    item 9): the two-K marginal of a full XLA V(2,2) cycle at 33^3/65^3
+    entries measures what a fused 3D tail kernel could absorb per 257^3/
+    513^3 cycle. 'pallas' here means the shipped 'auto' routing (3D plane
+    kernels gate in above 64 KB; these levels are below it), so the row
+    pair bounds the opportunity; a win would justify building tail3d."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid3d import (
+        Grid3D,
+    )
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import (
+        multigrid3d as mg3,
+    )
+
+    for n in sizes:
+        g = Grid3D(n, n, n)
+        row = {}
+        for backend in ("xla", "auto"):
+            cfg = MultigridConfig(smoother="rbgs", omega=1.0,
+                                  backend=backend)
+            levels = mg3.build_hierarchy3d(g, dtype=jnp.float32, cfg=cfg)
+
+            def mk(pshape=g.shape_padded):
+                rng = np.random.default_rng()
+                u = np.zeros(pshape, np.float32)
+                f = np.zeros(pshape, np.float32)
+                u[:n, :n, :n] = 1e-3 * rng.standard_normal((n, n, n))
+                f[:n, :n, :n] = rng.standard_normal((n, n, n))
+                return jnp.asarray(u), jnp.asarray(f)
+
+            def cyc(u, f, _cfg=cfg, _levels=levels):
+                return mg3.mg_cycle3d(_levels, u, f, _cfg)
+            try:
+                m = marginal(cyc, mk, k, 64)
+                row[backend] = m.to_dict()
+                print(f"tail3d_cycle_{n} {backend:7s} "
+                      f"{m.per_iter*1e6:9.2f} us  (noise "
+                      f"{m.noise_floor*1e6:.1f} us, dk={m.dk}"
+                      f"{'' if m.ok else ', BELOW NOISE FLOOR'})",
+                      flush=True)
+            except Exception as e:
+                row[backend] = None
+                print(f"tail3d_cycle_{n} {backend:7s} FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+        results[f"tail3d_cycle_{n}"] = row
+
+
+def bench_full(sizes, k, results):
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels \
+        import smooth as psmooth
+
+    for n in sizes:
+        g = Grid(n, n)
+        row = {}
+        # 'auto_parity' A/Bs the in-kernel parity-plane sweep layout against
+        # the shipped direct layout at the full-cycle level (PARITY_DEFAULT
+        # documentation in ops/pallas_kernels/smooth.py)
+        for variant, backend in (("auto", "auto"), ("pallas", "pallas"),
+                                 ("auto_parity", "auto")):
+            cfg = MultigridConfig(smoother="rbgs", omega=1.0,
+                                  backend=backend)
+            levels = mg_mod.build_hierarchy(g, dtype=jnp.float32, cfg=cfg)
+            parity_saved = psmooth.PARITY_DEFAULT
+            psmooth.PARITY_DEFAULT = variant == "auto_parity"
+            jax.clear_caches()
+
+            def cyc(u, f, _cfg=cfg, _levels=levels):
+                return mg_mod.mg_cycle(_levels, u, f, _cfg)
+            try:
+                m = marginal(cyc, _mk_fields(g.shape_padded, n), k, 64)
+                row[variant] = m.to_dict()
+                print(f"full_cycle_{n}   {variant:12s} "
+                      f"{m.per_iter*1e6:9.2f} us  (noise "
+                      f"{m.noise_floor*1e6:.1f} us, dk={m.dk}"
+                      f"{'' if m.ok else ', BELOW NOISE FLOOR'})",
+                      flush=True)
+            except Exception as e:
+                row[variant] = None
+                print(f"full_cycle_{n}   {variant:12s} FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+            finally:
+                psmooth.PARITY_DEFAULT = parity_saved
         results[f"full_cycle_{n}"] = row
 
 
@@ -183,14 +275,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--varcoef-sizes", default="513,1025")
     ap.add_argument("--tail-sizes", default="65,129")
+    ap.add_argument("--tail3d-sizes", default="33,65")
     ap.add_argument("--full-sizes", default="1025")
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--json", default="")
     ap.add_argument("--only", default="",
                     help="comma-subset of {varcoef,tail,full}")
     args = ap.parse_args()
-    only = set(s for s in args.only.split(",") if s) or {"varcoef", "tail",
-                                                         "full"}
+    only = set(s for s in args.only.split(",") if s) or {
+        "varcoef", "tail", "tailvar", "tail3d", "full"}
 
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
@@ -201,6 +294,12 @@ def main():
     if "tail" in only:
         bench_tail([int(s) for s in args.tail_sizes.split(",")],
                    args.k, results)
+    if "tailvar" in only:
+        bench_tailvar([int(s) for s in args.tail_sizes.split(",")],
+                      args.k, results)
+    if "tail3d" in only:
+        bench_tail3d([int(s) for s in args.tail3d_sizes.split(",") if s],
+                     args.k, results)
     if "full" in only:
         bench_full([int(s) for s in args.full_sizes.split(",")],
                    args.k, results)

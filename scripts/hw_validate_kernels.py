@@ -114,6 +114,24 @@ def cases():
                                         strip=128)
         return got, ref, 1e-5
 
+    # ---- 2D parity-plane layout (whole-grid + strips) ----
+    def parity_whole():
+        g, st, unknown, f, u = _problem2d(513)
+        ref = smooth_mod.smooth(st, u, f, unknown, method="rbgs", sweeps=2,
+                                omega=1.0)
+        got = psmooth.multisweep(st, u, f, nx=g.nx, ny=g.ny, method="rbgs",
+                                 sweeps=2, omega=1.0, layout="parity")
+        return got, ref, 0.0  # bit-exact contract (_parity_sweeps)
+
+    def parity_strips():
+        g, st, unknown, f, u = _problem2d(1025)
+        ref = smooth_mod.smooth(st, u, f, unknown, method="rbgs", sweeps=2,
+                                omega=1.0)
+        got = psmooth.multisweep_strips(st, u, f, nx=g.nx, ny=g.ny,
+                                        method="rbgs", sweeps=2, omega=1.0,
+                                        layout="parity")
+        return got, ref, 0.0
+
     # ---- 2D var-coef fused residual+restrict ----
     def varcoef_rr():
         g, st, unknown, f, u = _problem2d(513, varcoef=True)
@@ -144,6 +162,33 @@ def cases():
         meta = tuple((lev.grid.nx, lev.grid.ny) + tuple(lev.grid.shape_padded)
                      for lev in levels)
         got = ptail.tail_vcycle(
+            [lev.stencil for lev in levels], u, f, meta=meta,
+            pre=cfg.pre_sweeps, post=cfg.post_sweeps, omega=cfg.omega,
+            method="rbgs", coarse_sweeps=cfg.coarse_sweeps)
+        return got, ref, 1e-4
+
+    # ---- variable-coefficient fused coarse tail ----
+    def tail_var():
+        n = 65
+        cfg = mg_mod.MultigridConfig(smoother="rbgs", omega=1.0,
+                                     backend="xla", coarse_sweeps=8)
+        g0 = Grid(n, n)
+        X, Y = np.meshgrid(np.linspace(0, 1, g0.shape_padded[0]),
+                           np.linspace(0, 1, g0.shape_padded[1]),
+                           indexing="ij")
+        a = (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(np.pi * Y))
+        a = np.where(X > 0.5, 10.0 * a, a).astype(np.float32)
+        levels = mg_mod.build_hierarchy(g0, a=jnp.asarray(a), cfg=cfg,
+                                        dtype=jnp.float32)
+        rng = np.random.default_rng(13)
+        f = np.zeros(g0.shape_padded, np.float32)
+        f[1:n - 1, 1:n - 1] = rng.standard_normal((n - 2, n - 2))
+        f = jnp.asarray(f)
+        u = jnp.zeros_like(f)
+        ref = mg_mod.mg_cycle(levels, u, f, cfg)
+        meta = tuple((lev.grid.nx, lev.grid.ny) + tuple(lev.grid.shape_padded)
+                     for lev in levels)
+        got = ptail.tail_vcycle_var(
             [lev.stencil for lev in levels], u, f, meta=meta,
             pre=cfg.pre_sweeps, post=cfg.post_sweeps, omega=cfg.omega,
             method="rbgs", coarse_sweeps=cfg.coarse_sweeps)
@@ -193,10 +238,13 @@ def cases():
         return got, ref, 1e-5
 
     return {
+        "parity_smooth_whole": parity_whole,
+        "parity_smooth_strips": parity_strips,
         "varcoef_smooth_whole": varcoef_whole,
         "varcoef_smooth_strips": varcoef_strips,
         "varcoef_residual_restrict": varcoef_rr,
         "tail_vcycle": tail,
+        "tail_vcycle_var": tail_var,
         "smooth3d_planes_small": planes3d_small,
         "smooth3d_planes_strips": planes3d_strips,
         "residual_restrict3d": rr3d,

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 from functools import partial
 
 import jax
@@ -32,42 +31,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid import Grid
 from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import smooth as smooth_mod
 from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.stencil import make_stencil
 
 
-def timed(fn, make_args, *, repeats=3):
-    """Min wall time over repeats; fresh inputs each repeat (relay cache)."""
-    # warmup/compile
-    out = fn(*make_args())
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(repeats):
-        args = make_args()
-        jax.block_until_ready(args)
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+from _marginal import _timed_median, robust_marginal  # noqa: E402
 
 
-def timed_marginal(make_fn, make_args, k_lo, k_hi, *, repeats=3):
-    """Per-iteration cost via the two-K difference: (t(k_hi)-t(k_lo))/(dk).
-
-    Cancels the ~27 ms fixed per-execution cost of the axon tunnel (dispatch
-    + device sync), which otherwise swamps any per-sweep signal."""
-    t_lo = timed(make_fn(k_lo), make_args, repeats=repeats)
-    t_hi = timed(make_fn(k_hi), make_args, repeats=repeats)
-    return (t_hi - t_lo) / (k_hi - k_lo), t_lo
+def timed_marginal(make_fn, make_args, k_lo, k_hi, *, repeats=5):
+    """Per-iteration cost via the guarded two-K protocol
+    (scripts/_marginal.py): median-of-repeats with FORCED READBACK sync
+    (block_until_ready can return before remote execution completes on the
+    axon tunnel), MAD noise floor, auto-widened K spread. Returns
+    (per_iter_or_None, t_lo-est) — None when the delta never cleared the
+    noise floor."""
+    m = robust_marginal(make_fn, make_args, k_lo=k_lo,
+                        dk=max(1, k_hi - k_lo), repeats=repeats)
+    return (m.per_iter if m.ok else None), m.noise_floor
 
 
 def dispatch_overhead():
     f = jax.jit(lambda x: x * 1.0 + 1.0)
     small = lambda: (jnp.asarray(np.random.rand(8, 128), jnp.float32),)
-    return timed(f, small, repeats=5)
+    t, _ = _timed_median(f, small, repeats=5)
+    return t
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +235,30 @@ def strips_call(st, n, total_sweeps):
     return run
 
 
+def prod_call(st, n, total_sweeps, layout):
+    """Chained calls of the PRODUCTION smoothing path (whole-grid or strip
+    kernel, same selection rule as ops/dispatch.smooth) at sweeps=2 with an
+    explicit layout — the parity-vs-direct A/B that charges every real
+    cost: launch, DMA, and the in-VMEM parity split/merge per call."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops.pallas_kernels \
+        import smooth as psmooth
+
+    calls = max(1, total_sweeps // 2)
+    g = Grid(n, n)
+    nbytes = g.shape_padded[0] * g.shape_padded[1] * 4
+    fn = (psmooth.multisweep if nbytes <= psmooth.WHOLE_GRID_BYTES
+          else psmooth.multisweep_strips)
+
+    @jax.jit
+    def run(u, f):
+        def body(i, u):
+            return fn(st, u, f + 1e-30 * i, nx=n, ny=n, method="rbgs",
+                      sweeps=2, omega=1.0, layout=layout)
+        return jax.lax.fori_loop(0, calls, body, u)
+
+    return run
+
+
 def xla_call(st, unknown, method, sweeps):
     @jax.jit
     def run(u, f):
@@ -297,14 +311,20 @@ def main():
             ("pallas_none", lambda k: probe_call("none", pshape, n, n, k)),
             ("pallas_parity", lambda k: parity_call(pshape, n, n, k)),
             ("pallas_strips", lambda k: strips_call(st, n, k)),
+            ("prod_direct", lambda k: prod_call(st, n, k, "direct")),
+            ("prod_parity", lambda k: prod_call(st, n, k, "parity")),
         ]:
             if only and not any(s in name for s in only):
                 continue
             try:
-                per_sweep, t_lo = timed_marginal(make, mk, K_LO, K_HI)
+                per_sweep, noise = timed_marginal(make, mk, K_LO, K_HI)
                 rows[name] = per_sweep
-                print(f"{n:5d}  {name:15s} {per_sweep*1e6:9.2f} us/sweep "
-                      f"(t@{K_LO}={t_lo*1e3:7.2f} ms)", flush=True)
+                if per_sweep is None:
+                    print(f"{n:5d}  {name:15s}   BELOW NOISE FLOOR "
+                          f"({noise*1e6:.1f} us)", flush=True)
+                else:
+                    print(f"{n:5d}  {name:15s} {per_sweep*1e6:9.2f} us/sweep "
+                          f"(noise {noise*1e6:7.1f} us)", flush=True)
             except Exception as e:
                 rows[name] = None
                 msg = str(e).split(chr(10))[0][:120]

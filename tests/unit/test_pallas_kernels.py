@@ -356,6 +356,61 @@ def test_tail_vcycle_jacobi_matches_xla_cycle():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_tail_vcycle_var_matches_xla_cycle():
+    """Variable-coefficient fused tail (tail_vcycle_var) vs the XLA cycle
+    on a smooth + 10:1-jump coefficient hierarchy."""
+    n = 65
+    g0 = Grid(n, n)
+    X, Y = np.meshgrid(np.linspace(0, 1, g0.shape_padded[0]),
+                       np.linspace(0, 1, g0.shape_padded[1]), indexing="ij")
+    a = 1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(np.pi * Y)
+    a = np.where(X > 0.5, 10.0 * a, a).astype(np.float32)
+    cfg = mg_mod.MultigridConfig(smoother="rbgs", omega=1.0, backend="xla",
+                                 coarse_sweeps=8)
+    levels = mg_mod.build_hierarchy(g0, a=jnp.asarray(a), cfg=cfg,
+                                    dtype=jnp.float32)
+    rng = np.random.default_rng(61)
+    u = np.zeros(g0.shape_padded, np.float32)
+    f = np.zeros(g0.shape_padded, np.float32)
+    u[1:n - 1, 1:n - 1] = rng.standard_normal((n - 2, n - 2))
+    f[1:n - 1, 1:n - 1] = rng.standard_normal((n - 2, n - 2))
+    u, f = jnp.asarray(u), jnp.asarray(f)
+    ref = mg_mod.mg_cycle(levels, u, f, cfg)
+    meta = tuple((lev.grid.nx, lev.grid.ny) + tuple(lev.grid.shape_padded)
+                 for lev in levels)
+    got = ptail.tail_vcycle_var(
+        [lev.stencil for lev in levels], u, f, meta=meta,
+        pre=cfg.pre_sweeps, post=cfg.post_sweeps, omega=cfg.omega,
+        method="rbgs", coarse_sweeps=cfg.coarse_sweeps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tail_ok_gates_varcoef():
+    """dispatch.tail_ok admits variable-coefficient tails for
+    backend='pallas' (TAILVAR_AUTO measured separately), still rejects
+    Neumann and Galerkin levels."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import dispatch
+
+    n = 65
+    g0 = Grid(n, n)
+    a = jnp.ones(g0.shape_padded, jnp.float32) * 2.0
+    cfg = mg_mod.MultigridConfig(smoother="rbgs", omega=1.0,
+                                 backend="pallas")
+    levels = mg_mod.build_hierarchy(g0, a=a, cfg=cfg, dtype=jnp.float32)
+    assert dispatch.tail_ok(levels, 0, cfg, "V")
+    assert not dispatch.tail_ok(levels, 0, cfg.replace(backend="xla"), "V")
+    # 'auto' follows the TAILVAR_AUTO gate
+    on_tpu = dispatch._on_tpu()
+    expected = bool(dispatch.TAILVAR_AUTO and dispatch.TAIL_AUTO and on_tpu)
+    assert dispatch.tail_ok(levels, 0, cfg.replace(backend="auto"),
+                            "V") == expected
+    # Neumann stays rejected
+    spec = bc_mod.mixed(west=bc_mod.BCSide(kind=bc_mod.BCKind.NEUMANN))
+    lev_n = mg_mod.build_hierarchy(g0, spec, cfg=cfg, dtype=jnp.float32)
+    assert not dispatch.tail_ok(lev_n, 0, cfg, "V")
+
+
 # ---------------------------------------------------------------------------
 # 3D rolling-plane pipeline kernel
 # ---------------------------------------------------------------------------
