@@ -260,11 +260,19 @@ def prolong_correct(lev, nxt, ec, u):
 TAIL_AUTO = True
 
 # Variable-coefficient tails (ops/pallas_kernels/tail.py::tail_vcycle_var):
-# every level's five coefficient planes VMEM-resident. OFF until the two-K
-# hardware numbers land in reports/gate_microbench.json (the streamed-
-# coefficient smoother gate VARCOEF_AUTO measured a loss; these levels are
-# dispatch-bound, so the tradeoff differs) — backend='pallas' exercises it.
-TAILVAR_AUTO = False
+# every level's five coefficient planes VMEM-resident. Unlike the streamed-
+# coefficient smoother (VARCOEF_AUTO, measured loser), these levels are
+# dispatch-bound and the kernel wins decisively — measured on the v5e
+# (guarded two-K, scripts/gate_microbench.py, round 4): V(2,2) cycle from a
+# 65^2 entry 55.4 -> 15.7 us (3.5x), from 129^2 151.5 -> 18.7 us (8.1x);
+# hardware numerics validated (reports/hw_validate.json tail_vcycle_var
+# rel-err 0.0). Gate ON.
+#
+# A 3D coarse tail was evaluated the same way and NOT built: the whole XLA
+# recursion from a 33^3 entry costs ~116 us/cycle — ~1% of a 257^3 cycle —
+# so a fused 3D tail has no meaningful headroom (gate_microbench
+# tail3d_cycle rows record the opportunity bound).
+TAILVAR_AUTO = True
 
 
 def tail_ok(levels, lvl, cfg, cycle_type) -> bool:
