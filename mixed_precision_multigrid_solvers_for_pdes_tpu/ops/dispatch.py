@@ -49,11 +49,14 @@ def _on_tpu() -> bool:
         return False
 
 
-# Measured on the v5e chip (scripts/gate_microbench.py): the streamed-
-# coefficient Pallas sweep LOSES at 513^2 (91 vs 31 us) and only ties at
-# 1025^2 (117 vs 120 us) — the extra coefficient-plane traffic eats the
-# win. Gate stays OFF for 'auto'; backend='pallas' still exercises it.
-VARCOEF_AUTO = False
+# Streamed-coefficient Pallas smoothing: per-sweep rows conflict across
+# chip sessions (round 3: kernel 91 vs XLA 31 us at 513^2, tie at 1025^2;
+# round 4, guarded readback-synced protocol: kernel 26 vs 780 at 513^2,
+# 57 vs 67 at 1025^2 — session drift up to ~3x, see CLAUDE.md). Policy:
+# route to the kernel only where BOTH sessions say win-or-tie — at or
+# above ~1025^2 (>= _VARCOEF_MIN_BYTES); 513^2 and below stay on XLA.
+VARCOEF_AUTO = True
+_VARCOEF_MIN_BYTES = 4 * 1024 * 1024
 
 
 def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bool:
@@ -73,7 +76,9 @@ def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bo
         from ..core import bc as bc_mod
         from ..core.bc import BCKind
 
-        if backend == "auto" and not VARCOEF_AUTO:
+        if backend == "auto" and (
+                not VARCOEF_AUTO
+                or u.size * u.dtype.itemsize < _VARCOEF_MIN_BYTES):
             return False
         if getattr(lev, "domain", None) is not None:
             return False
@@ -211,8 +216,11 @@ def transfer_fused_ok(lev, nxt, cfg) -> bool:
     if jnp.ndim(lev.stencil.c) != 0:
         # variable coefficients: residual_restrict streams the five
         # coefficient planes through VMEM (prolong_correct is
-        # stencil-independent). Same hardware-validation gate as smoothing.
-        if backend == "auto" and not VARCOEF_AUTO:
+        # stencil-independent). Same size-gated policy as smoothing.
+        px_, py_ = lev.grid.shape_padded
+        nbytes = px_ * py_ * jnp.dtype(lev.dtype).itemsize
+        if backend == "auto" and (not VARCOEF_AUTO
+                                  or nbytes < _VARCOEF_MIN_BYTES):
             return False
     if lev.domain is not None or getattr(nxt, "domain", None) is not None:
         return False

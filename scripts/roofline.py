@@ -43,33 +43,21 @@ from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (
     MultigridConfig)
 
 
-def timed(fn, make_args, *, repeats=3):
-    out = fn(*make_args())
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(repeats):
-        args = make_args()
-        jax.block_until_ready(args)
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _marginal import robust_marginal  # noqa: E402
 
 
-def marginal(make_fn, make_args, k_lo, k_hi, repeats=3):
-    """Auto-tuned two-K marginal: if the first K gap yields < 15 ms of
-    signal (vs the ~±2 ms run-to-run noise of the tunnel's fixed cost),
-    re-measure with a gap sized for ~40 ms of signal."""
-    t_lo = timed(make_fn(k_lo), make_args, repeats=repeats)
-    t_hi = timed(make_fn(k_hi), make_args, repeats=repeats)
-    per = (t_hi - t_lo) / (k_hi - k_lo)
-    signal = per * (k_hi - k_lo)
-    if signal < 0.015:
-        k_big = k_lo + min(32768, max(1024, int(0.04 / max(per, 2e-7))))
-        t_big = timed(make_fn(k_big), make_args, repeats=repeats)
-        per = (t_big - t_lo) / (k_big - k_lo)
-    return per
+def marginal(make_fn, make_args, k_lo, k_hi, repeats=5):
+    """Guarded two-K marginal (scripts/_marginal.py): median-of-repeats with
+    FORCED READBACK sync — on the axon tunnel block_until_ready can return
+    before remote execution completes (measured round 4; it produced a
+    physically impossible 10.6 TB/s copy row) — MAD noise floor, K spread
+    auto-widened until the delta clears it. Returns NaN for rows that never
+    clear the floor (rendered as missing, never shipped as numbers)."""
+    m = robust_marginal(make_fn, make_args, k_lo=k_lo,
+                        dk=max(1, k_hi - k_lo), repeats=repeats,
+                        max_dk=32768)
+    return m.per_iter if m.ok else float("nan")
 
 
 def chain_self(fn, k):
@@ -367,16 +355,23 @@ def main():
                else f"tail^{n}" if measure_fn is measure_tail else f"{n}^3")
         results[key] = {
             name: {
-                "time_us": round(t * 1e6, 2),
+                "time_us": round(t * 1e6, 2) if t == t else None,
                 "model_MB": round(b / 1e6, 3),
-                "achieved_GBps": round(b / t / 1e9, 1) if t > 0 else None,
+                "achieved_GBps": (round(b / t / 1e9, 1)
+                                  if t == t and t > 0 else None),
             }
             for name, (t, b) in rows.items()
         }
         for name, d in results[key].items():
-            print(f"{str(key):>8s}  {name:24s} {d['time_us']:9.2f} us  "
+            print(f"{str(key):>8s}  {name:24s} {d['time_us'] or 0:9.2f} us  "
                   f"{d['achieved_GBps'] or 0:7.1f} GB/s", flush=True)
+        # write after EVERY block: a timeout mid-battery must not lose the
+        # measured blocks (round 4: a 100-min run timed out at the last
+        # 3D case and produced nothing)
+        write_reports(results, args)
 
+
+def write_reports(results, args):
     # measured achievable peak: the best hbm_copy row (sustained streaming
     # bandwidth under the SAME chained-loop protocol); every % is vs this
     copy_rows = [d["achieved_GBps"] for v in results.values()
@@ -397,8 +392,10 @@ def main():
     out.parent.mkdir(exist_ok=True)
     payload = {"system": system_info(), "hbm_peak_GBps": args.peak,
                "hbm_peak_measured_GBps": peak_meas,
-               "protocol": "two-K marginal (k_lo/k_hi chained in one jit), "
-                           "materialized outputs, min of 3 repeats",
+               "protocol": "guarded two-K marginal (scripts/_marginal.py): "
+                           "median of 5 repeats, READBACK-synced, MAD noise "
+                           "floor, K spread auto-widened; rows that never "
+                           "cleared the floor are null",
                "results": {str(k): v for k, v in results.items()}}
     out.with_suffix(".json").write_text(json.dumps(payload, indent=2))
 

