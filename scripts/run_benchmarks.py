@@ -215,7 +215,7 @@ def main():
         # "converges" in one iteration on it — a degenerate Krylov baseline
         # (caught in round 4 when scipy_cg reported 1 iter / 0.1 ms)
         pb.run_suite(P.poisson_mms_exponential,
-                     sizes=(65, 129) if args.quick else (65, 129, 257))
+                     sizes=(65, 129) if args.quick else (65, 129, 257, 513))
         report["external_baselines"] = pb.report()
 
     (out / "benchmark_report.json").write_text(
