@@ -542,3 +542,48 @@ def test_fused_prolong_correct3d_matches_xla(shape):
     scale = float(jnp.max(jnp.abs(ref))) or 1.0
     np.testing.assert_allclose(np.asarray(got) / scale,
                                np.asarray(ref) / scale, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# dispatch gating (size-gated streamed-coefficient smoothing, round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_varcoef_smooth_gate_is_size_gated(monkeypatch):
+    """VARCOEF_AUTO routes streamed-coefficient smoothing to the kernel only
+    at levels >= _VARCOEF_MIN_BYTES (sessions conflicted at 513^2; both said
+    win-or-tie at >=1025^2 — ops/dispatch.py policy comment)."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import dispatch
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import (
+        multigrid as mg_mod,
+    )
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    assert dispatch.VARCOEF_AUTO  # round-4 setting
+
+    def lev0(n):
+        g = Grid(n, n)
+        a = jnp.ones(g.shape_padded, jnp.float32) * 2.0
+        cfg = mg_mod.MultigridConfig(smoother="rbgs", omega=1.0)
+        return mg_mod.build_hierarchy(g, a=a, cfg=cfg, dtype=jnp.float32)[0]
+
+    small = lev0(129)
+    u_small = jnp.zeros(small.grid.shape_padded, jnp.float32)
+    assert u_small.size * 4 < dispatch._VARCOEF_MIN_BYTES
+    assert not dispatch._pallas_smooth_ok(small.stencil, u_small, small,
+                                          "auto", "rbgs")
+    # backend='pallas' bypasses the size gate (explicit opt-in)
+    assert dispatch._pallas_smooth_ok(small.stencil, u_small, small,
+                                      "pallas", "rbgs")
+
+    big = lev0(1025)
+    u_big = jnp.zeros(big.grid.shape_padded, jnp.float32)
+    assert u_big.size * 4 >= dispatch._VARCOEF_MIN_BYTES
+    assert dispatch._pallas_smooth_ok(big.stencil, u_big, big, "auto",
+                                      "rbgs")
+    # scalar stencils are unaffected by the varcoef size gate
+    st_scalar = st_mod.make_stencil(small.grid, dtype=jnp.float32)
+    lev_s = mg_mod.Level(stencil=st_scalar, grid=small.grid, spec=small.spec,
+                         dtype=np.dtype(np.float32))
+    assert dispatch._pallas_smooth_ok(st_scalar, u_small, lev_s, "auto",
+                                      "rbgs")
