@@ -44,7 +44,6 @@ shows the opposite.
 
 from __future__ import annotations
 
-import functools
 from functools import partial
 
 import jax
