@@ -655,7 +655,7 @@ def heat_problem_from_callables(
         u0_arr[:, grid.ny:] = 0.0
     dirichlet = None
     if exact is not None and any(
-        spec.side(s).kind == BCKind.DIRICHLET for s in bc_mod.SIDES
+        BCKind.DIRICHLET in spec.side(s).kinds for s in bc_mod.SIDES
     ):
         dirichlet = exact
     return HeatProblem(

@@ -38,21 +38,70 @@ class BCKind(enum.Enum):
 
 
 @dataclasses.dataclass(frozen=True)
+class BCSegment:
+    """One interval of a side carrying its own condition (mixed per-segment
+    BCs, reference boundary_conditions/advanced_bc.py:219-334
+    MixedBoundaryCondition). ``lo``/``hi`` are fractions of the side's arc
+    length in [0, 1]; a boundary node at tangential fraction t belongs to the
+    segment when lo <= t <= hi (first listed segment wins where two touch).
+    Periodic segments are meaningless (wrap is a whole-axis property)."""
+
+    lo: float
+    hi: float
+    kind: BCKind = BCKind.DIRICHLET
+    alpha: float = 0.0
+    beta: float = 1.0
+
+    def __post_init__(self):
+        if not (0.0 <= self.lo < self.hi <= 1.0):
+            raise ValueError(
+                f"segment interval must satisfy 0 <= lo < hi <= 1, "
+                f"got [{self.lo}, {self.hi}]")
+        if self.kind == BCKind.PERIODIC:
+            raise ValueError("periodic BC cannot be assigned to a segment")
+        if self.kind == BCKind.ROBIN and self.beta == 0.0:
+            raise ValueError("Robin BC requires beta != 0")
+
+
+@dataclasses.dataclass(frozen=True)
 class BCSide:
     """One side's condition: alpha*u + beta*du/dn = g (g supplied separately).
 
     Dirichlet: u = g  (alpha=1, beta=0 conceptually).
     Neumann:   du/dn = g (alpha=0, beta=1).
     Robin:     alpha*u + beta*du/dn = g, beta != 0.
+
+    ``segments`` optionally overrides intervals of the side with different
+    conditions (mixed per-segment BCs, reference advanced_bc.py:219-334);
+    ``kind``/``alpha``/``beta`` apply outside all segments.
     """
 
     kind: BCKind = BCKind.DIRICHLET
     alpha: float = 0.0
     beta: float = 1.0
+    segments: Tuple[BCSegment, ...] = ()
 
     def __post_init__(self):
         if self.kind == BCKind.ROBIN and self.beta == 0.0:
             raise ValueError("Robin BC requires beta != 0")
+        if self.segments:
+            if self.kind == BCKind.PERIODIC:
+                raise ValueError(
+                    "a periodic side cannot carry BC segments")
+            segs = sorted(self.segments, key=lambda s: s.lo)
+            for a, b in zip(segs, segs[1:]):
+                if b.lo < a.hi:
+                    raise ValueError(
+                        f"overlapping BC segments [{a.lo},{a.hi}] and "
+                        f"[{b.lo},{b.hi}]")
+
+    @property
+    def kinds(self) -> frozenset:
+        """Every condition kind present on this side (default + segments).
+        The default kind is always included: proving the segments cover the
+        whole closed interval is brittle under float endpoints, so gates stay
+        conservative instead."""
+        return frozenset({self.kind} | {s.kind for s in self.segments})
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,11 +118,25 @@ class BoundarySpec:
 
     @property
     def all_dirichlet(self) -> bool:
-        return all(self.side(s).kind == BCKind.DIRICHLET for s in SIDES)
+        return all(self.side(s).kinds == {BCKind.DIRICHLET} for s in SIDES)
 
     @property
     def any_periodic(self) -> bool:
         return any(self.side(s).kind == BCKind.PERIODIC for s in SIDES)
+
+    @property
+    def plain(self) -> bool:
+        """No side (or segment) introduces boundary unknowns — every
+        condition is Dirichlet or periodic. Gates the constant-coefficient
+        stencil fast path and 'zero' restriction boundary handling."""
+        return all(
+            k in (BCKind.DIRICHLET, BCKind.PERIODIC)
+            for s in SIDES for k in self.side(s).kinds
+        )
+
+    @property
+    def any_segments(self) -> bool:
+        return any(self.side(s).segments for s in SIDES)
 
     def validate(self) -> None:
         # Periodic must pair up; pure-Neumann problems are singular
@@ -108,32 +171,78 @@ def mixed(**kwargs) -> BoundarySpec:
     return BoundarySpec(**sides)
 
 
+def _segment_claims(side: BCSide, t, n: int):
+    """Yield (segment-or-default BCSide, claim mask over ``t``) pairs for a
+    segmented side; ``t`` is the tangential node-index array, ``n`` the
+    side's logical extent. First listed segment wins where two touch."""
+    frac = t.astype(jnp.float32) / jnp.float32(max(n - 1, 1))
+    claimed = jnp.zeros(t.shape, bool)
+    for seg in side.segments:
+        m = (frac >= seg.lo) & (frac <= seg.hi) & ~claimed
+        claimed = claimed | m
+        yield BCSide(kind=seg.kind, alpha=seg.alpha, beta=seg.beta), m
+    yield BCSide(kind=side.kind, alpha=side.alpha, beta=side.beta), ~claimed
+
+
+def _side_dirichlet_at(side: BCSide, t, n: int):
+    """Bool mask over tangential index array ``t``: True where the side's
+    effective condition (after segments) is Dirichlet."""
+    if not side.segments:
+        return jnp.full(t.shape, side.kind == BCKind.DIRICHLET)
+    out = jnp.zeros(t.shape, bool)
+    for eff, m in _segment_claims(side, t, n):
+        if eff.kind == BCKind.DIRICHLET:
+            out = out | m
+    return out
+
+
+def unknown_mask_at(spec: BoundarySpec, nx: int, ny: int, gi, gj):
+    """``unknown_mask`` semantics evaluated at arbitrary global-index arrays
+    (shared by the padded single-device mask and parallel.halo_solve's
+    sharded blocks, which index with axis_index offsets): True where the
+    solver owns the node. Dirichlet boundary nodes (side default or segment)
+    are fixed; Neumann/Robin ones are unknowns; periodic axes own the unique
+    nodes 0..n-2."""
+    mask = (gi >= 0) & (gi < nx) & (gj >= 0) & (gj < ny)
+    if spec.west.kind == BCKind.PERIODIC:
+        mask &= gi < nx - 1
+    else:
+        mask &= ~((gi == 0) & _side_dirichlet_at(spec.west, gj, ny))
+        mask &= ~((gi == nx - 1) & _side_dirichlet_at(spec.east, gj, ny))
+    if spec.south.kind == BCKind.PERIODIC:
+        mask &= gj < ny - 1
+    else:
+        mask &= ~((gj == 0) & _side_dirichlet_at(spec.south, gi, nx))
+        mask &= ~((gj == ny - 1) & _side_dirichlet_at(spec.north, gi, nx))
+    return mask
+
+
 def unknown_mask(nx: int, ny: int, pshape: Tuple[int, int], spec: BoundarySpec):
     """Boolean (padded) mask: True where the solver owns the node.
 
-    Padding cells and Dirichlet-side boundary nodes are False; Neumann/Robin
-    boundary nodes are True. Periodic axes own nodes 0..n-2 (node n-1 is the
-    duplicate of node 0, kept as a synced ghost). Built from iota so XLA
-    fuses it into consumers.
+    Padding cells and Dirichlet boundary nodes (side default or segment) are
+    False; Neumann/Robin boundary nodes are True. Periodic axes own nodes
+    0..n-2 (node n-1 is the duplicate of node 0, kept as a synced ghost).
+    Built from iota so XLA fuses it into consumers.
     """
     i = jax.lax.broadcasted_iota(jnp.int32, pshape, 0)
     j = jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
-    mask = (i < nx) & (j < ny)
-    if spec.west.kind == BCKind.PERIODIC:
-        mask &= i < nx - 1
-    else:
-        if spec.west.kind == BCKind.DIRICHLET:
-            mask &= i > 0
-        if spec.east.kind == BCKind.DIRICHLET:
-            mask &= i < nx - 1
-    if spec.south.kind == BCKind.PERIODIC:
-        mask &= j < ny - 1
-    else:
-        if spec.south.kind == BCKind.DIRICHLET:
-            mask &= j > 0
-        if spec.north.kind == BCKind.DIRICHLET:
-            mask &= j < ny - 1
-    return mask
+    return unknown_mask_at(spec, nx, ny, i, j)
+
+
+def side_regions(name: str, nx: int, ny: int, pshape: Tuple[int, int],
+                 side: BCSide):
+    """List of (effective BCSide, padded bool mask) covering one side's
+    logical nodes — one entry per segment plus the default remainder (a
+    single entry for unsegmented sides). Consumed by the stencil factory's
+    ghost elimination and bc_rhs_correction."""
+    base = side_mask(name, nx, ny, pshape)
+    if not side.segments:
+        return [(side, base)]
+    tangential_axis = 1 if name in ("west", "east") else 0
+    n = ny if tangential_axis == 1 else nx
+    t = jax.lax.broadcasted_iota(jnp.int32, pshape, tangential_axis)
+    return [(eff, base & m) for eff, m in _segment_claims(side, t, n)]
 
 
 def periodic_sync(nx: int, ny: int, pshape: Tuple[int, int],

@@ -99,7 +99,8 @@ class Problem:
 
 
 def _no_dirichlet(spec: BoundarySpec) -> bool:
-    return all(spec.side(s).kind != BCKind.DIRICHLET for s in bc_mod.SIDES)
+    return all(BCKind.DIRICHLET not in spec.side(s).kinds
+               for s in bc_mod.SIDES)
 
 
 def from_callables(
@@ -266,6 +267,63 @@ def robin_test_problem(n: int, alpha: float = 1.0, beta: float = 1.0) -> Problem
         f=lambda X, Y: -4.0 + 0.0 * X,
         spec=spec,
         bc_values={"east": g_east},
+    )
+
+
+def mixed_segment_problem(n: int) -> Problem:
+    """Per-segment mixed BCs (reference
+    boundary_conditions/advanced_bc.py:219-334 MixedBoundaryCondition):
+    u = x^2 + y^2, f = -4, with the EAST side split Dirichlet on
+    y in [0, 0.5) / Robin (u + du/dn = g) on y in [0.5, 1], and the NORTH
+    side carrying a Neumann segment on x in [0, 0.5] (du/dn = du/dy = 2 at
+    y = 1) with a Dirichlet remainder. Quadratic u makes every ghost
+    elimination exact, so the discrete solution matches u to rounding."""
+    grid = Grid(n, n)
+    spec = BoundarySpec(
+        east=bc_mod.BCSide(
+            kind=BCKind.DIRICHLET,
+            segments=(bc_mod.BCSegment(0.5, 1.0, kind=BCKind.ROBIN,
+                                       alpha=1.0, beta=1.0),),
+        ),
+        north=bc_mod.BCSide(
+            kind=BCKind.DIRICHLET,
+            segments=(bc_mod.BCSegment(0.0, 0.5, kind=BCKind.NEUMANN),),
+        ),
+    )
+    _, Yp = grid.coordinates(padded=True)
+    # east Robin: g = u + du/dx = (1 + y^2) + 2 on the segment
+    g_east = (1.0 + Yp**2) + 2.0
+    return from_callables(
+        "poisson_mixed_segments", grid,
+        u_exact=lambda X, Y: X**2 + Y**2,
+        f=lambda X, Y: -4.0 + 0.0 * X,
+        spec=spec,
+        bc_values={"east": g_east, "north": 2.0},
+    )
+
+
+def mixed_segment_mms(n: int) -> Problem:
+    """O(h^2) order-study companion of mixed_segment_problem with a
+    non-polynomial solution: u = exp(x + y), f = -2 exp(x + y); the WEST
+    side is Neumann on y in [0.25, 0.75] (du/dn = -du/dx = -exp(y) at
+    x = 0) and Dirichlet elsewhere. The manufactured g satisfies both
+    conditions at the junctions, so no corner singularity is introduced and
+    second order holds."""
+    grid = Grid(n, n)
+    spec = BoundarySpec(
+        west=bc_mod.BCSide(
+            kind=BCKind.DIRICHLET,
+            segments=(bc_mod.BCSegment(0.25, 0.75, kind=BCKind.NEUMANN),),
+        ),
+    )
+    Xp, Yp = grid.coordinates(padded=True)
+    g_west = -np.exp(Xp + Yp)  # evaluated on the i = 0 ring where X = 0
+    return from_callables(
+        "poisson_mixed_segment_mms", grid,
+        u_exact=lambda X, Y: np.exp(X + Y),
+        f=lambda X, Y: -2.0 * np.exp(X + Y),
+        spec=spec,
+        bc_values={"west": g_west},
     )
 
 
@@ -436,6 +494,8 @@ CATALOGUE = {
     "jump_coefficient": jump_coefficient_problem,
     "periodic_helmholtz": periodic_helmholtz_mms,
     "robin_test": robin_test_problem,
+    "mixed_segments": mixed_segment_problem,
+    "mixed_segments_mms": mixed_segment_mms,
     "boundary_layer": boundary_layer_problem,
     "corner_singularity": corner_singularity_problem,
     "l_shaped": l_shaped_problem,

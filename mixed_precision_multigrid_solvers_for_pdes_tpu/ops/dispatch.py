@@ -73,17 +73,13 @@ def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bo
         # windows. Requires the iota-built interior mask, i.e. a plain
         # all-Dirichlet rectangle (Neumann/Robin move unknowns onto the
         # boundary; domain masks carve the interior) — those stay on XLA.
-        from ..core import bc as bc_mod
-        from ..core.bc import BCKind
-
         if backend == "auto" and (
                 not VARCOEF_AUTO
                 or u.size * u.dtype.itemsize < _VARCOEF_MIN_BYTES):
             return False
         if getattr(lev, "domain", None) is not None:
             return False
-        if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
-                   for s in bc_mod.SIDES):
+        if not lev.spec.all_dirichlet:
             return False
     if u.dtype not in (jnp.float32, jnp.bfloat16):
         return False
@@ -143,11 +139,7 @@ def pallas_smooth3d_ok(stencil, u, lev, backend: str, method: str) -> bool:
         return False
     if jnp.ndim(stencil.c) != 0:
         return False
-    from ..core import bc3d
-    from ..core.bc import BCKind
-
-    if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
-               for s in bc3d.SIDES3D):
+    if not lev.spec.all_dirichlet:
         return False
     if u.dtype not in (jnp.float32, jnp.bfloat16):
         return False
@@ -177,11 +169,7 @@ def transfer_fused3d_ok(lev, nxt, cfg) -> bool:
         return False
     if cfg.restriction != "full_weighting":
         return False
-    from ..core import bc3d
-    from ..core.bc import BCKind
-
-    if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
-               for s in bc3d.SIDES3D):
+    if not lev.spec.all_dirichlet:
         return False
     for dt in (lev.dtype, nxt.dtype):
         if jnp.dtype(dt) not in (jnp.dtype(jnp.float32),
@@ -203,9 +191,6 @@ def transfer_fused_ok(lev, nxt, cfg) -> bool:
     launches. Measured marginal cost per residual+restrict+prolong+correct
     pass, fp32 (two-K protocol, v5e): 1025^2 XLA 113 us vs fused 29 us
     (3.9x); 2049^2 561 vs 158 (3.5x)."""
-    from ..core import bc as bc_mod
-    from ..core.bc import BCKind
-
     backend = cfg.backend
     if backend == "xla":
         return False
@@ -226,8 +211,7 @@ def transfer_fused_ok(lev, nxt, cfg) -> bool:
         return False
     if cfg.restriction != "full_weighting" or cfg.prolongation != "bilinear":
         return False
-    if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
-               for s in bc_mod.SIDES):
+    if not lev.spec.all_dirichlet:
         return False
     for dt in (lev.dtype, nxt.dtype):
         if jnp.dtype(dt) not in (jnp.dtype(jnp.float32),
@@ -302,8 +286,6 @@ def tail_ok(levels, lvl, cfg, cycle_type) -> bool:
         return False
     if cfg.restriction != "full_weighting" or cfg.prolongation != "bilinear":
         return False
-    from ..core import bc as bc_mod
-    from ..core.bc import BCKind
     from .pallas_kernels.tail import TAIL_MAX_ENTRY_BYTES
 
     entry = levels[lvl]
@@ -321,8 +303,7 @@ def tail_ok(levels, lvl, cfg, cycle_type) -> bool:
             return False
         if lev.domain is not None:
             return False
-        if not all(lev.spec.side(s).kind == BCKind.DIRICHLET
-                   for s in bc_mod.SIDES):
+        if not lev.spec.all_dirichlet:
             return False
     return True
 

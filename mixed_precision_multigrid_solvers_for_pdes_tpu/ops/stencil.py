@@ -185,11 +185,7 @@ def make_stencil(
     ihx2 = 1.0 / (grid.hx * grid.hx)
     ihy2 = 1.0 / (grid.hy * grid.hy)
 
-    plain_sides = all(
-        spec.side(s).kind in (BCKind.DIRICHLET, BCKind.PERIODIC)
-        for s in bc_mod.SIDES
-    )
-    constant = a is None and plain_sides and jnp.ndim(lam) == 0
+    constant = a is None and spec.plain and jnp.ndim(lam) == 0
     if constant:
         w = e = jnp.asarray(ihx2, dtype)
         s = n = jnp.asarray(ihy2, dtype)
@@ -228,21 +224,25 @@ def make_stencil(
         ("south", grid.hy, "s", "n"),
         ("north", grid.hy, "n", "s"),
     ):
-        side = spec.side(name)
-        if side.kind not in (BCKind.NEUMANN, BCKind.ROBIN):
-            continue
-        m = bc_mod.side_mask(name, nx, ny, pshape)
-        coefs = {"w": w, "e": e, "s": s, "n": n}
-        # ghost elimination: drop the outward coupling, double the inward one
-        coefs[opposite_coef] = jnp.where(
-            m, 2.0 * coefs[opposite_coef], coefs[opposite_coef]
-        )
-        coefs[normal_coef] = jnp.where(m, jnp.zeros((), dtype), coefs[normal_coef])
-        w, e, s, n = coefs["w"], coefs["e"], coefs["s"], coefs["n"]
-        if side.kind == BCKind.ROBIN:
-            robin_diag = robin_diag + jnp.where(
-                m, jnp.asarray(2.0 * side.alpha / (side.beta * h), dtype), 0.0
+        # per-region (segment-aware) ghost elimination; unsegmented sides
+        # yield a single region covering the whole side
+        for eff, m in bc_mod.side_regions(name, nx, ny, pshape,
+                                          spec.side(name)):
+            if eff.kind not in (BCKind.NEUMANN, BCKind.ROBIN):
+                continue
+            coefs = {"w": w, "e": e, "s": s, "n": n}
+            # ghost elimination: drop outward coupling, double the inward one
+            coefs[opposite_coef] = jnp.where(
+                m, 2.0 * coefs[opposite_coef], coefs[opposite_coef]
             )
+            coefs[normal_coef] = jnp.where(m, jnp.zeros((), dtype),
+                                           coefs[normal_coef])
+            w, e, s, n = coefs["w"], coefs["e"], coefs["s"], coefs["n"]
+            if eff.kind == BCKind.ROBIN:
+                robin_diag = robin_diag + jnp.where(
+                    m, jnp.asarray(2.0 * eff.alpha / (eff.beta * h), dtype),
+                    0.0
+                )
 
     c = w + e + s + n + jnp.asarray(lam, dtype) + robin_diag
     return Stencil(c=c, w=w, e=e, s=s, n=n)
@@ -264,10 +264,10 @@ def bc_rhs_correction(
     out = jnp.zeros(pshape, dtype)
     for name, h in (("west", grid.hx), ("east", grid.hx),
                     ("south", grid.hy), ("north", grid.hy)):
-        side = spec.side(name)
-        if side.kind not in (BCKind.NEUMANN, BCKind.ROBIN):
-            continue
         g = jnp.asarray(bc_values.get(name, 0.0), dtype)
-        m = bc_mod.side_mask(name, grid.nx, grid.ny, pshape)
-        out = out + jnp.where(m, 2.0 * g / (side.beta * h), 0.0)
+        for eff, m in bc_mod.side_regions(name, grid.nx, grid.ny, pshape,
+                                          spec.side(name)):
+            if eff.kind not in (BCKind.NEUMANN, BCKind.ROBIN):
+                continue
+            out = out + jnp.where(m, 2.0 * g / (eff.beta * h), 0.0)
     return out

@@ -58,6 +58,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core import bc as bc_mod
 from ..core.bc import BCKind
 from ..ops import norms, transfer
 from ..ops import stencil as st_ops
@@ -225,23 +226,9 @@ def _block_unknown(spec, nx: int, ny: int, gi, gj, domain=None, grid=None):
     the unique nodes 0..n-2 — which is the whole halo-layout extent).
     ``domain`` restricts to an irregular DomainSpec's interior (cut nodes are
     Dirichlet-fixed, core/domain.py)."""
-    mask = (gi < nx) & (gj < ny) & (gi >= 0) & (gj >= 0)
+    mask = bc_mod.unknown_mask_at(spec, nx, ny, gi, gj)
     if domain is not None:
         mask &= domain.interior_mask_at(grid, gi, gj)
-    if spec.west.kind == BCKind.PERIODIC:
-        mask &= gi < nx - 1
-    else:
-        if spec.west.kind == BCKind.DIRICHLET:
-            mask &= gi > 0
-        if spec.east.kind == BCKind.DIRICHLET:
-            mask &= gi < nx - 1
-    if spec.south.kind == BCKind.PERIODIC:
-        mask &= gj < ny - 1
-    else:
-        if spec.south.kind == BCKind.DIRICHLET:
-            mask &= gj > 0
-        if spec.north.kind == BCKind.DIRICHLET:
-            mask &= gj < ny - 1
     return mask
 
 
@@ -346,10 +333,18 @@ def _install_reflection(rh, spec, nx, ny, bx, by):
     x first and y second composes to the correct corner (2x2-mean) rule."""
     gih, gjh = _gidx(bx, by, ext=True)
     no_refl = (BCKind.DIRICHLET, BCKind.PERIODIC)  # periodic halos wrap
-    refl_w = spec.west.kind not in no_refl
-    refl_e = spec.east.kind not in no_refl
-    refl_s = spec.south.kind not in no_refl
-    refl_n = spec.north.kind not in no_refl
+
+    def _refl(side):
+        # any Neumann/Robin presence (side default or segment) needs the
+        # reflected halo; on Dirichlet portions the coarse ring is masked
+        # afterwards so over-reflecting there is harmless (and matches the
+        # single-device 'reflect' path, which reflects uniformly)
+        return any(k not in no_refl for k in side.kinds)
+
+    refl_w = _refl(spec.west)
+    refl_e = _refl(spec.east)
+    refl_s = _refl(spec.south)
+    refl_n = _refl(spec.north)
     if refl_w:
         rh = jnp.where(gih == -1, jnp.roll(rh, -2, 0), rh)
     if refl_e:
@@ -368,11 +363,7 @@ def _restrict_block(r, lev_f: Level, lev_c: Level, mx, my, unknown_c,
     ops/transfer.py's MXU formulation, reused per block)."""
     bx, by = r.shape
     rh = _with_halo(r, mx, my, wx, wy)
-    plain = all(
-        lev_f.spec.side(s).kind in (BCKind.DIRICHLET, BCKind.PERIODIC)
-        for s in ("west", "east", "south", "north")
-    )
-    if not plain:
+    if not lev_f.spec.plain:
         rh = _install_reflection(rh, lev_f.spec, lev_f.grid.nx, lev_f.grid.ny,
                                  bx, by)
     row = 2.0 * rh + jnp.roll(rh, 1, 0) + jnp.roll(rh, -1, 0)
@@ -632,17 +623,13 @@ def _halo_solve_core(f_h, u_h, sten_leaves, *, mesh, plan, cfg, overlap,
             # replicated -> replicated: single-device path (multigrid._cycle)
             wrapf = (lev_f.spec.west.kind == BCKind.PERIODIC,
                      lev_f.spec.south.kind == BCKind.PERIODIC)
-            plain = all(
-                lev_f.spec.side(s).kind in (BCKind.DIRICHLET,
-                                            BCKind.PERIODIC)
-                for s in ("west", "east", "south", "north")
-            )
             if any(wrapf):
                 r = lev_f.sync(r)  # wrap ghosts feed the seam windows
             fc = transfer.restrict(
                 r, lev_c.grid.nx, lev_c.grid.ny, lev_c.grid.shape_padded,
                 method=cfg.restriction,
-                boundary="zero" if plain else "reflect", dtype=lev_c.dtype,
+                boundary="zero" if lev_f.spec.plain else "reflect",
+                dtype=lev_c.dtype,
                 wrap=wrapf,
             )
             return jnp.where(lev_c.unknown, fc, jnp.zeros((), lev_c.dtype))

@@ -236,7 +236,7 @@ class MMSValidator:
         for key in ("polynomial", "trigonometric", "high_frequency",
                     "mixed", "exponential", "helmholtz",
                     "variable_coefficient", "neumann_test",
-                    "boundary_layer"):
+                    "mixed_segments_mms", "boundary_layer"):
             self.validate_steady(P.CATALOGUE[key], sizes, name=key)
         # Singular problems (reference test_problems.py:161-295): L2 order
         # is limited by H^(1+2/3) corner regularity. The sharp diagnostic is

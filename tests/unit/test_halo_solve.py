@@ -103,6 +103,22 @@ class TestHaloSolveMatchesGSPMD:
         u, info = _compare(mesh, prob)
         assert prob.error_norms(u)["l2"] < 1e-3
 
+    def test_mixed_segments(self, mesh):
+        """Per-segment mixed BCs (Neumann segment inside a Dirichlet side,
+        reference advanced_bc.py:219-334) on the explicit-halo path: the
+        sharded unknown masks and reflected restriction halos must reproduce
+        the GSPMD solve exactly."""
+        prob = P.mixed_segment_mms(65)
+        u, info = _compare(mesh, prob)
+        assert prob.error_norms(u)["l2"] < 1e-3
+
+    def test_mixed_segments_robin(self, mesh):
+        """Dirichlet|Robin split east + Neumann|Dirichlet split north:
+        quadratic MMS is discretization-exact even sharded."""
+        prob = P.mixed_segment_problem(65)
+        u, info = _compare(mesh, prob)
+        assert prob.error_norms(u)["l2"] < 1e-9
+
     def test_w_cycle(self, mesh):
         prob = P.poisson_mms_sinsin(65)
         _compare(mesh, prob, cfg=CFG.replace(cycle="W"))
