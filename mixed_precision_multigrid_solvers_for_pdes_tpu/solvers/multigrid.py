@@ -97,6 +97,14 @@ class MultigridConfig:
     # (ops/galerkin.py) — robust for strong coefficient jumps, coarse
     # levels become 9-point (XLA path).
     coarsening: str = "rediscretize"
+    # RAP-chain compute dtype for coarsening='galerkin'. float64 keeps the
+    # chain exact down the hierarchy (free on CPU); float32 is the TPU fast
+    # path — f64 is software-emulated on TPU and dominated round-4 Galerkin
+    # setup (421-482 s @1025²). The coarse-operator coefficients only steer
+    # the correction (solution accuracy is set by the fine operator + IR),
+    # and the jump-problem cycle factor is validated unchanged under f32
+    # (tests/unit/test_galerkin.py).
+    galerkin_dtype: str = "float64"
     # W/F branching applies only on the finest `w_depth` levels; below that the
     # recursion degrades to V. Full W costs 2^L smooth stages *in the unrolled
     # XLA graph* — capping bounds compile time while keeping the robustness
@@ -156,21 +164,22 @@ def build_hierarchy(
 
     levels = []
     a_l, lam_l = a, lam
-    st_hi = None  # float64 operator chain for Galerkin RAP
+    st_hi = None  # high-precision operator chain for Galerkin RAP
+    rap_dt = jnp.dtype(cfg.galerkin_dtype)
     for i, (g, dt) in enumerate(zip(grids, dtypes)):
         if i == 0 or cfg.coarsening == "rediscretize":
             st = st_mod.make_stencil(g, spec, a=a_l, lam=lam_l, dtype=dt)
             if i == 0 and cfg.coarsening == "galerkin":
                 st_hi = st_mod.make_stencil(g, spec, a=a_l, lam=lam_l,
-                                            dtype=jnp.float64)
+                                            dtype=rap_dt)
         else:
-            # Galerkin: A_c = R A P of the previous level's float64 operator
-            # (ops/galerkin.py) — the chain stays in float64 so roundoff
-            # does not compound down the hierarchy
+            # Galerkin: A_c = R A P of the previous level's operator
+            # (ops/galerkin.py) — the chain stays at cfg.galerkin_dtype so
+            # roundoff does not compound down the hierarchy
             from ..ops import galerkin as galerkin_mod
 
             st_hi = galerkin_mod.galerkin_coarse_stencil(
-                st_hi, grids[i - 1], g, spec, domain=domain,
+                st_hi, grids[i - 1], g, spec, domain=domain, dtype=rap_dt,
                 restriction=cfg.restriction, prolongation=cfg.prolongation,
             )
             st = st_hi.astype(dt)
@@ -236,11 +245,7 @@ def _cycle(levels: Tuple[Level, ...], u, f, lvl: int, cfg: MultigridConfig,
 
     wrap = (lev.spec.west.kind == BCKind.PERIODIC,
             lev.spec.south.kind == BCKind.PERIODIC)
-    plain = all(
-        lev.spec.side(s).kind in (BCKind.DIRICHLET, BCKind.PERIODIC)
-        for s in bc_mod.SIDES
-    )
-    boundary = "zero" if plain else "reflect"
+    boundary = "zero" if lev.spec.plain else "reflect"
     if not fused:
         if any(wrap):
             r = sync(r)  # wrap ghosts feed the restriction windows at the seam

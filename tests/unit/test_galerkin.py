@@ -137,6 +137,18 @@ class TestConvergence:
         assert info_g["convergence_factor"] < 0.11
         assert info_g["convergence_factor"] < info_r["convergence_factor"]
 
+    def test_f32_rap_chain_rho_unchanged(self):
+        """cfg.galerkin_dtype='float32' (the TPU fast path — f64 RAP is
+        software-emulated on TPU and dominated round-4 setup walls): the
+        jump-problem cycle factor must match the f64 chain to well under
+        the gate (coarse coefficients only steer the correction)."""
+        prob = P.jump_coefficient_problem(65)
+        _, _, info64 = _solve(prob, _cfg())
+        _, _, info32 = _solve(prob, _cfg(galerkin_dtype="float32"))
+        assert info32["converged"]
+        assert abs(info32["convergence_factor"]
+                   - info64["convergence_factor"]) < 0.01
+
     @pytest.mark.slow
     def test_extreme_jump_1e6(self):
         prob = P.jump_coefficient_problem(129, ratio=1e6)
