@@ -76,6 +76,32 @@ def _timed_median(fn, make_args, repeats: int):
     return med, mad
 
 
+def _timed_median_pair(fn_lo, fn_hi, make_args, repeats: int):
+    """Interleaved medians for two callables: repeats alternate lo/hi so the
+    two populations are temporally adjacent and session drift (documented up
+    to ~3x between populations) cancels out of the difference instead of
+    being attributed to per-iteration cost (ADVICE r4: a long widening loop
+    reusing a stale t_lo could report drift as ok=True)."""
+    _sync(fn_lo(*make_args()))  # compile both outside the timed region
+    _sync(fn_hi(*make_args()))
+    ts_lo, ts_hi = [], []
+    for _ in range(repeats):
+        for fn, ts in ((fn_lo, ts_lo), (fn_hi, ts_hi)):
+            args = make_args()
+            _sync(args)
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _sync(out)
+            ts.append(time.perf_counter() - t0)
+
+    def _med_mad(ts):
+        ts = np.asarray(ts)
+        med = float(np.median(ts))
+        return med, float(np.median(np.abs(ts - med)))
+
+    return _med_mad(ts_lo) + _med_mad(ts_hi)
+
+
 def robust_marginal(
     make_chain: Callable[[int], Callable],
     make_args: Callable[[], tuple],
@@ -94,10 +120,13 @@ def robust_marginal(
     hit, in which case the result is flagged not-ok rather than shipped as
     a bare number).
     """
-    t_lo, mad_lo = _timed_median(make_chain(k_lo), make_args, repeats)
+    fn_lo = make_chain(k_lo)
     while True:
-        t_hi, mad_hi = _timed_median(make_chain(k_lo + dk), make_args,
-                                     repeats)
+        # lo is re-measured interleaved with hi at EVERY K spread so each
+        # delta compares temporally adjacent populations (session drift
+        # otherwise masquerades as per-iteration cost)
+        t_lo, mad_lo, t_hi, mad_hi = _timed_median_pair(
+            fn_lo, make_chain(k_lo + dk), make_args, repeats)
         delta = t_hi - t_lo
         noise = mad_lo + mad_hi
         if delta >= min_snr * noise and delta > 0:

@@ -280,7 +280,7 @@ def main():
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--json", default="")
     ap.add_argument("--only", default="",
-                    help="comma-subset of {varcoef,tail,full}")
+                    help="comma-subset of {varcoef,tail,tailvar,tail3d,full}")
     args = ap.parse_args()
     only = set(s for s in args.only.split(",") if s) or {
         "varcoef", "tail", "tailvar", "tail3d", "full"}
