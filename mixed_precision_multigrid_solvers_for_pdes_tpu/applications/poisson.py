@@ -56,6 +56,12 @@ def solve_poisson(
       'mixed'              — per-level dtypes (fine fp32, coarse bf16) with a
                              float64 outer residual via iterative refinement.
       'adaptive'           — staged promotion (solvers.refinement.adaptive_solve).
+      'auto'               — measured per-problem selection: micro-benchmarks
+                             fp32/mixed/adaptive on THIS problem and picks the
+                             fastest that holds accuracy, cached per problem
+                             signature (precision_analysis.autotune — the
+                             measured counterpart of reference
+                             gpu/gpu_precision.py:421-547).
       a PrecisionPolicy    — used directly.
 
     ``mesh`` (jax.sharding.Mesh) runs the solve SPMD over the device mesh in
@@ -64,6 +70,10 @@ def solve_poisson(
     threshold)."""
     if isinstance(precision, PrecisionPolicy):
         pol = precision
+    elif precision == "auto":
+        from .precision_analysis import autotune
+
+        pol = make_policy(autotune(problem, cfg=cfg))
     else:
         pol = make_policy(precision) if isinstance(precision, str) else make_policy("fp32")
 

@@ -113,3 +113,67 @@ class MixedPrecisionAnalyzer:
             "records": [r.to_dict() for r in self.records],
             "tradeoffs": self.tradeoffs(),
         }
+
+
+# ---------------------------------------------------------------------------
+# measured per-problem precision auto-tuner
+# ---------------------------------------------------------------------------
+
+_AUTOTUNE_CACHE: Dict[Any, str] = {}
+
+
+def autotune(
+    problem: Problem,
+    *,
+    cfg: MultigridConfig = MultigridConfig(smoother="rbgs", omega=1.0,
+                                           tol=1e-8),
+    candidates: Sequence[str] = ("fp32", "mixed", "adaptive"),
+    runs: int = 3,
+    accuracy_factor: float = 10.0,
+    use_cache: bool = True,
+) -> str:
+    """Micro-benchmark each candidate precision ON the actual problem and
+    return the fastest one that holds accuracy — the measured counterpart of
+    the reference's GPUPrecisionOptimizer (reference
+    gpu/gpu_precision.py:421-547, which timed each precision per problem
+    shape and cached a strategy).
+
+    Selection rule: a candidate is admissible if its solve converged and
+    (when the problem has an exact solution) its L2 error is within
+    ``accuracy_factor`` of the best error achieved by any candidate —
+    precision must not cost digits the problem could have had. Among
+    admissible candidates the min-of-``runs`` wall time decides. Results are
+    cached per (problem name, shape, dtype ladder, cfg); pass
+    ``use_cache=False`` to re-measure.
+    """
+    key = (problem.name, problem.grid.nx, problem.grid.ny,
+           tuple(candidates), cfg)
+    if use_cache and key in _AUTOTUNE_CACHE:
+        return _AUTOTUNE_CACHE[key]
+
+    rows = []
+    for precision in candidates:
+        res = solve_poisson(problem, precision=precision, cfg=cfg)  # compile
+        stats = benchmark_function(
+            lambda p=precision: solve_poisson(problem, precision=p, cfg=cfg),
+            warmup=0, runs=runs)
+        rows.append({
+            "precision": precision,
+            "wall_s": stats["min_s"],
+            "converged": res.converged,
+            "error_l2": res.errors["l2"] if res.errors else None,
+        })
+
+    errs = [r["error_l2"] for r in rows
+            if r["converged"] and r["error_l2"] is not None]
+    best_err = min(errs) if errs else None
+    admissible = [
+        r for r in rows
+        if r["converged"] and (
+            best_err is None or r["error_l2"] is None
+            or r["error_l2"] <= accuracy_factor * max(best_err, 1e-300))
+    ]
+    pool = admissible or [r for r in rows if r["converged"]] or rows
+    winner = min(pool, key=lambda r: r["wall_s"])["precision"]
+    _AUTOTUNE_CACHE[key] = winner
+    return winner

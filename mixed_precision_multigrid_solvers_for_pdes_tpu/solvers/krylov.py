@@ -128,6 +128,71 @@ def _identity(r):
     return r
 
 
+def stencil_matvec_np(stencil, unknown):
+    """NumPy twin of :func:`stencil_matvec` (5-point only) for host-side
+    Krylov loops — host preconditioners (ILU's sequential triangular solves)
+    would otherwise force a device round-trip per iteration."""
+    un = np.asarray(unknown)
+    c, w, e, s, n = (
+        np.broadcast_to(np.asarray(getattr(stencil, k), np.float64),
+                        un.shape)
+        for k in ("c", "w", "e", "s", "n")
+    )
+
+    def mv(x):
+        ns = (w * np.roll(x, 1, 0) + e * np.roll(x, -1, 0)
+              + s * np.roll(x, 1, 1) + n * np.roll(x, -1, 1))
+        return np.where(un, c * x - ns, 0.0)
+
+    return mv
+
+
+def pcg_host(
+    matvec: Callable,
+    b,
+    x0=None,
+    *,
+    precond: Optional[Callable] = None,
+    tol: float = 1e-10,
+    maxiter: int = 500,
+) -> Tuple[Any, Dict[str, Any]]:
+    """:func:`pcg` semantics (relative-to-||b|| tolerance, residual history)
+    executed on the host in NumPy — for preconditioners that cannot trace
+    into jit, i.e. ILU's wavefront triangular solves
+    (reference preconditioning/ilu.py:286-340 ran its whole CG this way)."""
+    b = np.asarray(b, np.float64)
+    x = (np.zeros_like(b) if x0 is None
+         else np.asarray(x0, np.float64).copy())
+    M = precond if precond is not None else (lambda r: r)
+    r = b - np.asarray(matvec(x), np.float64)
+    z = np.asarray(M(r), np.float64)
+    p = z.copy()
+    rz = float((r * z).sum())
+    tol_eff = tol * max(float(np.sqrt((b * b).sum())), 1e-300)
+    hist = [float(np.sqrt((r * r).sum()))]
+    k = 0
+    while hist[-1] > tol_eff and k < maxiter:
+        Ap = np.asarray(matvec(p), np.float64)
+        denom = float((p * Ap).sum())
+        alpha = rz / denom if abs(denom) > 1e-300 else 0.0
+        x += alpha * p
+        r -= alpha * Ap
+        hist.append(float(np.sqrt((r * r).sum())))
+        z = np.asarray(M(r), np.float64)
+        rz_new = float((r * z).sum())
+        beta = rz_new / rz if abs(rz) > 1e-300 else 0.0
+        rz = rz_new
+        p = z + beta * p
+        k += 1
+    return x, {
+        "iterations": k,
+        "residual_norm": hist[-1],
+        "history": np.asarray(hist),
+        "converged": hist[-1] <= tol_eff,
+        "method": "pcg_host",
+    }
+
+
 @partial(jax.jit, static_argnames=("matvec", "precond", "maxiter"))
 def _bicgstab_jit(matvec, precond, b, x0, tol, maxiter: int):
     x = x0

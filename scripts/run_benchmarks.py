@@ -116,6 +116,99 @@ def poisson3d_bench(n: int, runs: int = 3) -> dict:
     }
 
 
+def precond_bench(sizes=(257, 513), ilu_max_n: int = 257,
+                  tol: float = 1e-8, runs: int = 3) -> list:
+    """CG-preconditioner A/B on the hard problem classes (VERDICT r4
+    next-round #7): host-path ILU(0)/ILU(1) vs the TPU-native substitutes
+    (Chebyshev, MG-PC). Iteration counts are hardware-neutral; walls are
+    measured where each preconditioner actually runs (ILU triangular solves
+    are inherently sequential -> host CG via solvers.krylov.pcg_host;
+    Chebyshev/MG-PC trace into the jitted PCG on the accelerator). ILU rows
+    stop at ``ilu_max_n``: the Python/NumPy wavefront setup alone scales
+    O(N) with large constants and is already minutes at 1025^2 — that IS the
+    supersession argument, recorded rather than hidden."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu import (
+        preconditioning as pc,
+    )
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import krylov
+
+    import numpy as np
+
+    rows = []
+    # per-class smoother for the MG preconditioner, as in run_validation:
+    # 100:1 anisotropy needs line smoothing (ADI); jumps are fine with RB-GS
+    cfgs = {
+        "jump_coefficient": MultigridConfig(smoother="rbgs", omega=1.0,
+                                            symmetric=True),
+        "anisotropic": MultigridConfig(smoother="adi", omega=1.0),
+    }
+    for key in ("jump_coefficient", "anisotropic"):
+        cfg = cfgs[key]
+        for n in sizes:
+            prob = P.CATALOGUE[key](n)
+            levels = mg.build_hierarchy(prob.grid, prob.spec, a=prob.a,
+                                        lam=prob.lam, dtype="float64",
+                                        cfg=cfg)
+            lev0 = levels[0]
+            # seeded generic RHS, NOT the MMS one: sinsin-family RHS is a
+            # discrete-operator eigenvector and collapses CG to 1 iteration
+            # (the round-4 degenerate-baseline lesson)
+            rng = np.random.default_rng(0)
+            b = jnp.where(lev0.unknown,
+                          jnp.asarray(rng.standard_normal(
+                              lev0.grid.shape_padded)),
+                          jnp.zeros((), jnp.float64))
+            mv = krylov.stencil_matvec(lev0.stencil, lev0.unknown)
+            cases = {
+                "none": None,
+                "chebyshev4": pc.chebyshev(lev0.stencil, lev0.unknown,
+                                           degree=4, grid=lev0.grid),
+                "mg_pc": pc.multigrid_preconditioner(levels, cfg),
+            }
+            for name, M in cases.items():
+                x, info = krylov.pcg(mv, b, precond=M, tol=tol,
+                                     maxiter=2000)  # compile + converge
+                wall = float("inf")
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    x, info = krylov.pcg(mv, b, precond=M, tol=tol,
+                                         maxiter=2000)
+                    jax.block_until_ready(x)
+                    wall = min(wall, time.perf_counter() - t0)
+                rows.append({
+                    "problem": key, "n": n, "preconditioner": name,
+                    "where": "device", "iterations": info["iterations"],
+                    "converged": info["converged"], "wall_s": wall,
+                    "setup_s": 0.0,
+                })
+            if n <= ilu_max_n:
+                b_np = np.asarray(b)
+                mv_np = krylov.stencil_matvec_np(lev0.stencil, lev0.unknown)
+                for name, ctor in (
+                    ("ilu0", lambda: pc.ILUPreconditioner(
+                        lev0.grid, lev0.stencil, lev0.unknown)),
+                    ("iluk1", lambda: pc.ILUKPreconditioner(
+                        lev0.grid, lev0.stencil, lev0.unknown,
+                        fill_level=1)),
+                ):
+                    t0 = time.perf_counter()
+                    M = ctor()
+                    setup_s = time.perf_counter() - t0
+                    wall = float("inf")
+                    for _ in range(max(1, runs - 1)):
+                        t0 = time.perf_counter()
+                        x, info = krylov.pcg_host(mv_np, b_np, precond=M,
+                                                  tol=tol, maxiter=2000)
+                        wall = min(wall, time.perf_counter() - t0)
+                    rows.append({
+                        "problem": key, "n": n, "preconditioner": name,
+                        "where": "host", "iterations": info["iterations"],
+                        "converged": info["converged"], "wall_s": wall,
+                        "setup_s": setup_s,
+                    })
+    return rows
+
+
 def galerkin_bench(n: int, runs: int = 3) -> list:
     """Jump-coefficient (1e3:1) robustness: rediscretize+W vs Galerkin RAP
     (ops/galerkin.py). The reference's number for this class (rho 0.142) was
@@ -204,6 +297,10 @@ def main():
 
     report["galerkin_jump"] = galerkin_bench(257 if args.quick else 1025)
 
+    report["preconditioners"] = precond_bench(
+        sizes=(129,) if args.quick else (257, 513, 1025),
+        ilu_max_n=129 if args.quick else 257)
+
     if args.baselines:
         from mixed_precision_multigrid_solvers_for_pdes_tpu.validation import (
             PerformanceBaselines,
@@ -246,6 +343,14 @@ def main():
         md.append(f"| {r['n']} | {r['coarsening']} | {r['cycle']} | "
                   f"{r['setup_s']:.3f} | {r['wall_s']:.3f} | "
                   f"{r['iterations']} | {r['rho_cycle']:.4f} |")
+    md += ["", "## CG preconditioners (ILU host path vs TPU-native "
+           "substitutes; reference preconditioning/ilu.py)", "",
+           "| problem | n | preconditioner | where | iters | setup (s) | "
+           "solve (s) |", "|---|---|---|---|---|---|---|"]
+    for r in report["preconditioners"]:
+        md.append(f"| {r['problem']} | {r['n']} | {r['preconditioner']} | "
+                  f"{r['where']} | {r['iterations']} | {r['setup_s']:.3f} | "
+                  f"{r['wall_s']:.3f} |")
     if "external_baselines" in report:
         md += ["", "## External baselines (same discrete systems; "
                "reference validation/performance_baselines.py:61)", "",

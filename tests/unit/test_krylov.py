@@ -229,3 +229,32 @@ class TestGMRES:
         u, info = krylov.gmres(mv, f, precond=M, tol=1e-8, restart=20)
         assert info["converged"], info
         _check_solution(prob, u)
+
+
+class TestHostPCG:
+    def test_pcg_host_matches_device_pcg(self, setup):
+        """The NumPy host loop (for ILU-class preconditioners) reproduces
+        the jitted PCG: same iteration count, same solution."""
+        prob, levels, lev0, mv, f = setup
+        u_dev, info_dev = krylov.pcg(mv, f, tol=1e-8, maxiter=500)
+        mv_np = krylov.stencil_matvec_np(lev0.stencil, lev0.unknown)
+        u_host, info_host = krylov.pcg_host(mv_np, np.asarray(f), tol=1e-8,
+                                            maxiter=500)
+        assert info_host["converged"]
+        assert abs(info_host["iterations"] - info_dev["iterations"]) <= 1
+        assert np.max(np.abs(u_host - np.asarray(u_dev))) < 1e-7
+
+    def test_pcg_host_with_ilu(self, setup):
+        """End-to-end host path: ILU(0)-preconditioned CG cuts iterations
+        and solves the system (the production use of pcg_host)."""
+        prob, levels, lev0, mv, f = setup
+        mv_np = krylov.stencil_matvec_np(lev0.stencil, lev0.unknown)
+        M = pc.ILUPreconditioner(lev0.grid, lev0.stencil, lev0.unknown)
+        f_np = np.asarray(f)
+        u_plain, info_plain = krylov.pcg_host(mv_np, f_np, tol=1e-8,
+                                              maxiter=500)
+        u_ilu, info_ilu = krylov.pcg_host(mv_np, f_np, precond=M, tol=1e-8,
+                                          maxiter=500)
+        assert info_ilu["converged"]
+        assert info_ilu["iterations"] < 0.6 * info_plain["iterations"]
+        _check_solution(prob, jnp.asarray(u_ilu))

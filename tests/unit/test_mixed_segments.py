@@ -140,6 +140,15 @@ class TestMixedSegmentSolve:
         assert info["converged"]
         assert info["convergence_factor"] < 0.45
 
+    def test_galerkin_restores_h_independence(self):
+        """Galerkin RAP coarse operators are consistent at the segment
+        junction by construction: measured rho 0.054/0.065/0.074 at
+        33/65/129 (h-independent) vs 0.23/0.31/0.39 rediscretized."""
+        prob = P.mixed_segment_problem(65)
+        _, info = _solve(prob, CFG.replace(coarsening="galerkin"))
+        assert info["converged"]
+        assert info["convergence_factor"] < 0.12
+
     def test_order_two_nonpolynomial(self):
         errs = {}
         for n in (17, 33, 65):

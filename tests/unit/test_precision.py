@@ -124,3 +124,38 @@ def test_adaptive_solve():
     )
     assert info["converged"]
     assert prob.error_norms(u)["l2"] < 1e-3
+
+
+def test_autotune_measures_and_caches(monkeypatch):
+    """precision_analysis.autotune (the measured counterpart of reference
+    gpu/gpu_precision.py:421-547): picks an accuracy-admissible fastest
+    candidate and caches the strategy per problem signature."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.applications import (
+        precision_analysis as pa,
+    )
+
+    prob = P.poisson_mms_sinsin(33)
+    cfg = CFG.replace(tol=1e-8)
+    pa._AUTOTUNE_CACHE.clear()
+    choice = pa.autotune(prob, cfg=cfg, candidates=("fp32", "fp64"), runs=1)
+    assert choice in ("fp32", "fp64")
+
+    # cache hit: a second call must not re-measure
+    def boom(*a, **k):
+        raise AssertionError("autotune re-measured a cached strategy")
+
+    monkeypatch.setattr(pa, "benchmark_function", boom)
+    assert pa.autotune(prob, cfg=cfg,
+                       candidates=("fp32", "fp64"), runs=1) == choice
+
+
+def test_solve_poisson_auto_precision():
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.applications.poisson import (
+        solve_poisson,
+    )
+
+    prob = P.poisson_mms_sinsin(33)
+    res = solve_poisson(prob, precision="auto",
+                        cfg=CFG.replace(tol=1e-8))
+    assert res.converged
+    assert res.errors["l2"] < 1e-3
