@@ -183,14 +183,26 @@ def transfer_fused3d_ok(lev, nxt, cfg) -> bool:
     return px * py * pz * jnp.dtype(lev.dtype).itemsize >= _MIN_TRANSFER_BYTES
 
 
+def _dirichlet_sides(spec):
+    """Static (west, east, south, north) Dirichlet flags for the fused
+    transfer kernels (False = Neumann/Robin ring: unknown + reflect fold)."""
+    from ..core import bc as bc_mod
+    from ..core.bc import BCKind
+
+    return tuple(spec.side(s).kind == BCKind.DIRICHLET for s in bc_mod.SIDES)
+
+
 def transfer_fused_ok(lev, nxt, cfg) -> bool:
     """True when the fused Pallas residual+restrict / prolong+correct pair
     (ops/pallas_kernels/transfer.py) may replace the XLA transfer chain in
-    the cycle: scalar all-Dirichlet stencil on a full rectangle, default
-    transfer operators, fp32/bf16, level big enough to amortize two kernel
-    launches. Measured marginal cost per residual+restrict+prolong+correct
-    pass, fp32 (two-K protocol, v5e): 1025^2 XLA 113 us vs fused 29 us
-    (3.9x); 2049^2 561 vs 158 (3.5x)."""
+    the cycle: 5-point stencil on a full rectangle with uniform
+    (segment-free, non-periodic) sides, default transfer operators,
+    fp32/bf16, level big enough to amortize two kernel launches.
+    Neumann/Robin sides route through the streamed-coefficient kernel with
+    per-side reflect folds (their stencils are always array-valued).
+    Measured marginal cost per residual+restrict+prolong+correct pass, fp32
+    (two-K protocol, v5e): 1025^2 XLA 113 us vs fused 29 us (3.9x); 2049^2
+    561 vs 158 (3.5x)."""
     backend = cfg.backend
     if backend == "xla":
         return False
@@ -211,8 +223,9 @@ def transfer_fused_ok(lev, nxt, cfg) -> bool:
         return False
     if cfg.restriction != "full_weighting" or cfg.prolongation != "bilinear":
         return False
-    if not lev.spec.all_dirichlet:
-        return False
+    spec = lev.spec
+    if spec.any_periodic or spec.any_segments:
+        return False  # wrap ghosts / non-uniform rings: XLA path
     for dt in (lev.dtype, nxt.dtype):
         if jnp.dtype(dt) not in (jnp.dtype(jnp.float32),
                                  jnp.dtype(jnp.bfloat16)):
@@ -231,6 +244,7 @@ def residual_restrict(lev, nxt, u, f):
         ncx=nxt.grid.nx, ncy=nxt.grid.ny,
         pshape_coarse=nxt.grid.shape_padded,
         out_dtype=nxt.dtype,
+        sides=_dirichlet_sides(lev.spec),
     )
 
 
@@ -242,6 +256,7 @@ def prolong_correct(lev, nxt, ec, u):
         ec, u,
         ncx=nxt.grid.nx, ncy=nxt.grid.ny,
         nxf=lev.grid.nx, nyf=lev.grid.ny,
+        sides=_dirichlet_sides(lev.spec),
     )
 
 

@@ -64,25 +64,59 @@ def _lane_zero_interleave(c, py_out):
 # fused residual + full-weighting restriction
 # ---------------------------------------------------------------------------
 
+def _unknown_at(gi, gj, nxf, nyf, sides):
+    """Fine unknown mask from global indices; ``sides`` = static
+    (dW, dE, dS, dN) booleans, True = Dirichlet (fixed ring). Non-Dirichlet
+    (Neumann/Robin) rings are unknowns — their ghost elimination lives in
+    the streamed coefficient planes, so the kernel body is unchanged."""
+    dW, dE, dS, dN = sides
+    m = (gi < nxf) & (gj < nyf) & (gi >= 0) & (gj >= 0)
+    if dW:
+        m &= gi > 0
+    if dE:
+        m &= gi < nxf - 1
+    if dS:
+        m &= gj > 0
+    if dN:
+        m &= gj < nyf - 1
+    return m
+
+
 def _rr_window(u, f, stp, gi0, woff, out_rows, nxf, nyf, ncx, ncy,
-               crow0, pyc):
+               crow0, pyc, sides=(True,) * 4):
     """Coarse full-weighting restriction of the residual for one fine
     window (win, py). ``gi0``: global fine row of window row 0 (traced or
     python int). ``woff`` (STATIC, even): window row of fine row 2*crow0.
-    Returns (out_rows, pyc); rows beyond the fine data or outside the
-    coarse interior are zero."""
+    ``sides``: static per-side Dirichlet flags; non-Dirichlet sides use the
+    reflection-renormalized fold (transfer.restrict boundary='reflect') and
+    keep their coarse ring nodes. Returns (out_rows, pyc); rows beyond the
+    fine data or outside the coarse unknowns are zero."""
     c, w, e, s, n = stp
+    dW, dE, dS, dN = sides
     win, py = u.shape
     gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, (win, py), 0)
     gj = jax.lax.broadcasted_iota(jnp.int32, (win, py), 1)
-    unknown = (gi > 0) & (gi < nxf - 1) & (gj > 0) & (gj < nyf - 1)
+    unknown = _unknown_at(gi, gj, nxf, nyf, sides)
     r = f - (c * u - (w * jnp.roll(u, 1, 0) + e * jnp.roll(u, -1, 0)
                       + s * jnp.roll(u, 1, 1) + n * jnp.roll(u, -1, 1)))
     r = jnp.where(unknown, r, jnp.zeros((), r.dtype))
     # separable [1 2 1]^2 / 16 on the full window (halo rows make interior
-    # rolls exact; wrap garbage only reaches masked boundary/padding rows)
-    row = 2.0 * r + jnp.roll(r, 1, 0) + jnp.roll(r, -1, 0)
-    wsum = (2.0 * row + jnp.roll(row, 1, 1) + jnp.roll(row, -1, 1)) / 16.0
+    # rolls exact; wrap garbage only reaches masked boundary/padding rows —
+    # or, on non-Dirichlet sides, is replaced by the reflected fold below)
+    r_w = jnp.roll(r, 1, 0)   # value at i-1
+    r_e = jnp.roll(r, -1, 0)  # value at i+1
+    if not dW:
+        r_w = jnp.where(gi == 0, jnp.roll(r, -1, 0), r_w)
+    if not dE:
+        r_e = jnp.where(gi == nxf - 1, jnp.roll(r, 1, 0), r_e)
+    row = 2.0 * r + r_w + r_e
+    row_s = jnp.roll(row, 1, 1)
+    row_n = jnp.roll(row, -1, 1)
+    if not dS:
+        row_s = jnp.where(gj == 0, jnp.roll(row, -1, 1), row_s)
+    if not dN:
+        row_n = jnp.where(gj == nyf - 1, jnp.roll(row, 1, 1), row_n)
+    wsum = (2.0 * row + row_s + row_n) / 16.0
     # x (sublane) decimation from static offset woff
     rows_avail = min(out_rows, (win - woff) // 2)
     w2 = wsum[woff: woff + 2 * rows_avail].reshape(rows_avail, 2, py)[:, 0]
@@ -90,7 +124,7 @@ def _rr_window(u, f, stp, gi0, woff, out_rows, nxf, nyf, ncx, ncy,
     ci = crow0 + jax.lax.broadcasted_iota(jnp.int32,
                                           (rows_avail, py // 2), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (rows_avail, py // 2), 1)
-    cunk = (ci > 0) & (ci < ncx - 1) & (cj > 0) & (cj < ncy - 1)
+    cunk = _unknown_at(ci, cj, ncx, ncy, sides)
     cpart = jnp.where(cunk, cpart, jnp.zeros((), cpart.dtype))
     if pyc > py // 2:
         cpart = jnp.concatenate(
@@ -104,7 +138,7 @@ def _rr_window(u, f, stp, gi0, woff, out_rows, nxf, nyf, ncx, ncy,
 
 
 def _rr_kernel(*refs, px, py, pxc, pyc, nxf, nyf, ncx, ncy, strip, halo,
-               n_loop, t0, wst, wt, ct0, n_in):
+               n_loop, t0, wst, wt, ct0, n_in, sides):
     """Generic over ``n_in`` input streams: (u, f) with SMEM stencil scalars
     (constant coefficients) or (u, f, c, w, e, s, n) with streamed
     coefficient windows (variable coefficients)."""
@@ -175,13 +209,13 @@ def _rr_kernel(*refs, px, py, pxc, pyc, nxf, nyf, ncx, ncy, strip, halo,
         def _():
             ow[slot] = _rr_window(u, f, stp, st_row, 0, cstrip,
                                   nxf, nyf, ncx, ncy, crow0,
-                                  pyc).astype(ow.dtype)
+                                  pyc, sides).astype(ow.dtype)
 
         @pl.when(k > 0)
         def _():
             ow[slot] = _rr_window(u, f, stp, st_row, halo, cstrip,
                                   nxf, nyf, ncx, ncy, crow0,
-                                  pyc).astype(ow.dtype)
+                                  pyc, sides).astype(ow.dtype)
 
         pltpu.make_async_copy(
             ow.at[slot],
@@ -212,7 +246,7 @@ def _rr_kernel(*refs, px, py, pxc, pyc, nxf, nyf, ncx, ncy, strip, halo,
     woff = 2 * ct0 - wst
     tw_o[:] = _rr_window(u, f, stp, _np.int32(wst), woff, crows,
                          nxf, nyf, ncx, ncy, _np.int32(ct0),
-                         pyc).astype(tw_o.dtype)
+                         pyc, sides).astype(tw_o.dtype)
     pltpu.make_async_copy(tw_o, o_hbm.at[pl.ds(_np.int32(ct0), crows), :],
                           tail_sems.at[_np.int32(0)]).start()
 
@@ -237,13 +271,18 @@ def residual_restrict(
     pshape_coarse,
     out_dtype=None,
     strip: int = 128,
+    sides=(True, True, True, True),
     interpret: bool = False,
 ):
     """fc = full-weighting restriction of (f - A u), fused in one kernel.
 
-    All-Dirichlet full-rectangle path; numerics match
-    ``transfer.restrict(residual(...), method='full_weighting',
-    boundary='zero')`` (interior coarse nodes; ring zero).
+    ``sides`` = static (west, east, south, north) Dirichlet flags. All-True
+    matches ``transfer.restrict(residual(...), method='full_weighting',
+    boundary='zero')`` (interior coarse nodes; ring zero); a False entry
+    marks a Neumann/Robin side — its ring nodes are unknowns, the
+    restriction uses the reflection-renormalized fold (boundary='reflect'),
+    and the ghost-eliminated edge coefficients arrive via the streamed
+    coefficient planes (Neumann/Robin stencils are always array-valued).
 
     Variable-coefficient stencils (2-d leaves) stream the five coefficient
     planes through their own double-buffered windows (n_in = 7), exactly
@@ -272,6 +311,7 @@ def residual_restrict(
         _rr_kernel, px=px, py=py, pxc=pxc, pyc=pyc, nxf=nxf, nyf=nyf,
         ncx=ncx, ncy=ncy, strip=int(strip), halo=halo, n_loop=int(n_loop),
         t0=int(t0), wst=int(wst), wt=int(wt), ct0=int(ct0), n_in=n_in,
+        sides=tuple(bool(b) for b in sides),
     )
     if varcoef:
         coefs = tuple(jnp.broadcast_to(jnp.asarray(x), u.shape)
@@ -318,12 +358,14 @@ def residual_restrict(
 # fused bilinear prolongation + correction
 # ---------------------------------------------------------------------------
 
-def _pc_window(ec_win, u_strip, cg0, foff, nxf, nyf):
+def _pc_window(ec_win, u_strip, cg0, foff, nxf, nyf, sides=(True,) * 4):
     """u_strip + P(ec_win)[foff: foff+rows] on fine unknowns.
 
     ``ec_win``: (cwin, pyc) coarse window whose row 0 is coarse row cg0;
     ``foff`` (STATIC, even): window-fine row of u_strip's first row, i.e.
-    fine row 2*cg0 + foff is u_strip row 0."""
+    fine row 2*cg0 + foff is u_strip row 0. ``sides``: static per-side
+    Dirichlet flags — non-Dirichlet rings are unknowns and receive the
+    interpolated correction (every interpolation read stays in-domain)."""
     rows, py = u_strip.shape
     cwin, pyc = ec_win.shape
     # x zero-interleave (sublane): fine row 2i <- ec[i]
@@ -342,14 +384,14 @@ def _pc_window(ec_win, u_strip, cg0, foff, nxf, nyf):
     gi0 = 2 * cg0 + foff
     gi = gi0 + jax.lax.broadcasted_iota(jnp.int32, (rows, py), 0)
     gj = jax.lax.broadcasted_iota(jnp.int32, (rows, py), 1)
-    unknown = (gi > 0) & (gi < nxf - 1) & (gj > 0) & (gj < nyf - 1)
+    unknown = _unknown_at(gi, gj, nxf, nyf, sides)
     return jnp.where(unknown, u_strip + e, u_strip)
 
 
 def _pc_kernel(ec_hbm, u_hbm, o_hbm, cw, uwin, ow, tw_c, tw_u,
                in_sems, out_sems, tail_sems,
                *, px, py, pxc, pyc, nxf, nyf, strip, chalo,
-               n_loop, t0, cwst_t, cwt):
+               n_loop, t0, cwst_t, cwt, sides):
     cstrip = strip // 2
     cwin = cstrip + 2 * chalo
 
@@ -401,12 +443,13 @@ def _pc_kernel(ec_hbm, u_hbm, o_hbm, cw, uwin, ow, tw_c, tw_u,
         # 2*(k*cstrip - cg0) = 0 for k == 0, 2*chalo otherwise
         @pl.when(k == 0)
         def _():
-            ow[slot] = _pc_window(ec, u, cg0, 0, nxf, nyf).astype(ow.dtype)
+            ow[slot] = _pc_window(ec, u, cg0, 0, nxf, nyf,
+                                  sides).astype(ow.dtype)
 
         @pl.when(k > 0)
         def _():
             ow[slot] = _pc_window(ec, u, cg0, 2 * chalo, nxf,
-                                  nyf).astype(ow.dtype)
+                                  nyf, sides).astype(ow.dtype)
 
         pltpu.make_async_copy(
             ow.at[slot],
@@ -430,7 +473,7 @@ def _pc_kernel(ec_hbm, u_hbm, o_hbm, cw, uwin, ow, tw_c, tw_u,
     u = tw_u[:].astype(jnp.float32)
     foff = t0 - 2 * cwst_t
     tw_u[:] = _pc_window(ec, u, _np.int32(cwst_t), foff, nxf,
-                         nyf).astype(tw_u.dtype)
+                         nyf, sides).astype(tw_u.dtype)
     pltpu.make_async_copy(tw_u, o_hbm.at[pl.ds(_np.int32(t0), px - t0), :],
                           tail_sems.at[_np.int32(0)]).start()
 
@@ -451,12 +494,15 @@ def prolong_correct(
     nxf: int,
     nyf: int,
     strip: int = 128,
+    sides=(True, True, True, True),
     interpret: bool = False,
 ):
     """u + bilinear-prolongation(ec) on fine unknowns, fused in one kernel.
 
-    Matches ``where(unknown, u + transfer.prolong(ec, ...), u)`` for the
-    all-Dirichlet constant-stencil configuration."""
+    Matches ``where(unknown, u + transfer.prolong(ec, ...), u)``; ``sides``
+    (static west/east/south/north Dirichlet flags) extends the unknown mask
+    to Neumann/Robin rings, whose correction is interpolated the same way
+    (prolongation is stencil-independent)."""
     pxc, pyc = ec.shape
     px, py = u.shape
     chalo = _HALO
@@ -475,6 +521,7 @@ def prolong_correct(
         _pc_kernel, px=px, py=py, pxc=pxc, pyc=pyc, nxf=nxf, nyf=nyf,
         strip=int(strip), chalo=chalo, n_loop=int(n_loop), t0=int(t0),
         cwst_t=int(cwst_t), cwt=int(cwt),
+        sides=tuple(bool(b) for b in sides),
     )
     cwin = strip // 2 + 2 * chalo
     return pl.pallas_call(

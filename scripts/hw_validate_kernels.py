@@ -145,6 +145,42 @@ def cases():
             pshape_coarse=gc.shape_padded)
         return got, ref, 1e-5
 
+    # ---- Neumann/Robin fused transfer pair (reflect folds) ----
+    def neumann_rr_pc():
+        spec = bc_mod.BoundarySpec(
+            east=bc_mod.BCSide(kind=bc_mod.BCKind.NEUMANN),
+            north=bc_mod.BCSide(kind=bc_mod.BCKind.ROBIN,
+                                alpha=1.0, beta=1.0))
+        n = 513
+        g = Grid(n, n)
+        gc = g.coarsen()
+        st = st_mod.make_stencil(g, spec, dtype=jnp.float32)
+        unknown = bc_mod.unknown_mask(g.nx, g.ny, g.shape_padded, spec)
+        unknown_c = bc_mod.unknown_mask(gc.nx, gc.ny, gc.shape_padded, spec)
+        sides = tuple(spec.side(s).kind == bc_mod.BCKind.DIRICHLET
+                      for s in bc_mod.SIDES)
+        rng = np.random.default_rng(11)
+        u = jnp.asarray(rng.standard_normal(g.shape_padded)
+                        .astype(np.float32))
+        f = jnp.asarray(rng.standard_normal(g.shape_padded)
+                        .astype(np.float32))
+        r = st_mod.residual(st, u, f, unknown)
+        fc_ref = transfer_mod.restrict(
+            r, gc.nx, gc.ny, gc.shape_padded, method="full_weighting",
+            boundary="reflect", dtype=jnp.float32)
+        fc_ref = jnp.where(unknown_c, fc_ref, jnp.zeros((), jnp.float32))
+        fc = ptransfer.residual_restrict(
+            st, u, f, nxf=g.nx, nyf=g.ny, ncx=gc.nx, ncy=gc.ny,
+            pshape_coarse=gc.shape_padded, sides=sides)
+        e = transfer_mod.prolong(fc_ref, gc.nx, gc.ny, g.nx, g.ny,
+                                 g.shape_padded, dtype=jnp.float32)
+        u_ref = jnp.where(unknown, u + e, u)
+        u_got = ptransfer.prolong_correct(
+            fc_ref, u, ncx=gc.nx, ncy=gc.ny, nxf=g.nx, nyf=g.ny,
+            sides=sides)
+        return (jnp.concatenate([fc.ravel(), u_got.ravel()]),
+                jnp.concatenate([fc_ref.ravel(), u_ref.ravel()]), 1e-5)
+
     # ---- fused coarse-tail V-cycle ----
     def tail():
         n = 65
@@ -243,6 +279,7 @@ def cases():
         "varcoef_smooth_whole": varcoef_whole,
         "varcoef_smooth_strips": varcoef_strips,
         "varcoef_residual_restrict": varcoef_rr,
+        "neumann_fused_transfers": neumann_rr_pc,
         "tail_vcycle": tail,
         "tail_vcycle_var": tail_var,
         "smooth3d_planes_small": planes3d_small,
