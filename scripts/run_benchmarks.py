@@ -319,6 +319,14 @@ def main():
         json.dumps(report, indent=2, default=float))
     md = [suite.report_markdown(), "",
           "## Backend speedups (solve-level, t_xla / t_auto)", "",
+          "These cells time ONE solve per dispatch, so the ~27-30 ms axon "
+          "tunnel fixed cost and its session jitter sit on top of every "
+          "wall — at <=513^2 that swamps the compute difference (round-4's "
+          "0.49x cell was this artifact). The decision-grade backend A/B "
+          "is the batched tunnel-free protocol in "
+          "reports/solve_throughput.md (scripts/solve_microbench.py "
+          "--backends auto,xla), which measures auto >=2.3x at every size "
+          "129-2049^2 and both precisions.", "",
           "| size/precision | speedup |", "|---|---|"]
     for cell, sp in report["backend_speedups"].items():
         md.append(f"| {cell} | {sp:.2f}x |")
