@@ -122,6 +122,10 @@ def smooth(stencil, u, f, lev, *, method: str, sweeps: int, omega: float,
 # fp32, per RB-GS sweep): 129^3 XLA 526.8 us vs pipeline 100.7 (5.2x);
 # 257^3 5893.7 vs 1728.5 (3.4x). Mosaic-compiled + numerics-validated on
 # device (reports/hw_validate.json, rel-err 0). Gate ON for 'auto' on TPU.
+# Round-4's contradictory 2939-us row (degraded session, unguarded
+# protocol) did NOT reproduce in the round-5 same-session tiebreak
+# (reports/smooth3d_tiebreak.json): Pallas 96.9 vs XLA 423.2 us/sweep
+# (4.4x) AND whole-solve auto 2.07x at 129^3 — gate confirmed ON.
 SMOOTH3D_AUTO = True
 
 
