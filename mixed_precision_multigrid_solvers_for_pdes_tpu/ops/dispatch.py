@@ -49,14 +49,17 @@ def _on_tpu() -> bool:
         return False
 
 
-# Streamed-coefficient Pallas smoothing: per-sweep rows conflict across
-# chip sessions (round 3: kernel 91 vs XLA 31 us at 513^2, tie at 1025^2;
-# round 4, guarded readback-synced protocol: kernel 26 vs 780 at 513^2,
-# 57 vs 67 at 1025^2 — session drift up to ~3x, see CLAUDE.md). Policy:
-# route to the kernel only where BOTH sessions say win-or-tie — at or
-# above ~1025^2 (>= _VARCOEF_MIN_BYTES); 513^2 and below stay on XLA.
+# Streamed-coefficient Pallas smoothing: three chip sessions at 513^2 —
+# round 3 (pre-hardening protocol, later proven unreliable): kernel loses
+# 91 vs 31 us; round 4 (guarded readback-synced): kernel wins 26 vs 780;
+# round 5 (guarded, healthy tunnel): kernel wins 16.0 vs 20.0 us, and the
+# varcoef fused transfer pair wins 30.9 vs 39.9 us under the same gate
+# (reports/gate_microbench.json varxfer rows, ADVICE r4 medium). Both
+# guarded sessions agree at 513^2, so the gate admits it
+# (>= _VARCOEF_MIN_BYTES = 1 MB); 257^2 and below stay on XLA (tiny
+# levels are fusion/dispatch-bound).
 VARCOEF_AUTO = True
-_VARCOEF_MIN_BYTES = 4 * 1024 * 1024
+_VARCOEF_MIN_BYTES = 1024 * 1024
 
 
 def _pallas_smooth_ok(stencil, u, lev, backend: str, method: str = "rbgs") -> bool:

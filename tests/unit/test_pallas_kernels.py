@@ -551,8 +551,9 @@ def test_fused_prolong_correct3d_matches_xla(shape):
 
 def test_varcoef_smooth_gate_is_size_gated(monkeypatch):
     """VARCOEF_AUTO routes streamed-coefficient smoothing to the kernel only
-    at levels >= _VARCOEF_MIN_BYTES (sessions conflicted at 513^2; both said
-    win-or-tie at >=1025^2 — ops/dispatch.py policy comment)."""
+    at levels >= _VARCOEF_MIN_BYTES (1 MB since round 5: both guarded
+    sessions say the kernel wins at 513^2; 257^2 and below stay XLA —
+    ops/dispatch.py policy comment)."""
     from mixed_precision_multigrid_solvers_for_pdes_tpu.ops import dispatch
     from mixed_precision_multigrid_solvers_for_pdes_tpu.solvers import (
         multigrid as mg_mod,
