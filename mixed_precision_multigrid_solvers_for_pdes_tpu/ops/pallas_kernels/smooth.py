@@ -514,7 +514,7 @@ def multisweep_strips(
     method: str = "rbgs",
     sweeps: int = 2,
     omega: float = 1.0,
-    strip: int = 128,
+    strip: int = 192,
     layout: str = "auto",
     interpret: bool = False,
 ):
@@ -523,6 +523,10 @@ def multisweep_strips(
     ``strip`` is a target row-block size; it is snapped to a multiple of 8
     (Mosaic's sublane tiling). Rows the strip grid doesn't cover are handled
     by a statically-offset tail window, so any tile-padded row count works.
+    Default 192 from the round-5 strip sweep (scripts/strip_tune.py,
+    guarded two-K at 1025^2/2049^2): 128/192 tie at 1025^2 (34.0 vs 33.9
+    us per 2-sweep call) but 192 wins 16%% at 2049^2 (132.6 vs 158.6 us);
+    taller strips amortize the halo re-read until the VMEM cap bites.
 
     Variable-coefficient stencils (2-d leaves) stream the five coefficient
     planes through their own double-buffered windows (n_in = 7)."""

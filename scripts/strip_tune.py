@@ -36,10 +36,16 @@ from _marginal import robust_marginal  # noqa: E402
 
 
 def chain(fn, k):
+    """Feedback chain that works for shape-changing ops too: the output
+    reduces to a scalar that rescales the carry (no-op arithmetically)."""
     @jax.jit
     def run(u, f):
         def body(i, u):
-            return fn(u, f + 1e-30 * i)
+            out = fn(u, f + 1e-30 * i)
+            if out.shape == u.shape:
+                return out
+            s = jnp.sum(out.astype(jnp.float32))
+            return u * (1.0 + 1e-30 * s)
         return jax.lax.fori_loop(0, k, body, u)
     return run
 
