@@ -110,11 +110,12 @@ def _strips_kernel(u_hbm, f_hbm, p_ref, o_hbm, wu, wf, ow, twu, twf,
         st_row = win_start(k)
         copies = []
         for a in range(4):
+            ai = _np.int32(a)
             copies.append(pltpu.make_async_copy(
-                u_hbm.at[a, pl.ds(st_row, win), :], wu.at[slot, a],
-                in_sems.at[slot, _np.int32(a)]))
+                u_hbm.at[ai, pl.ds(st_row, win), :], wu.at[slot, ai],
+                in_sems.at[slot, ai]))
             copies.append(pltpu.make_async_copy(
-                f_hbm.at[a, pl.ds(st_row, win), :], wf.at[slot, a],
+                f_hbm.at[ai, pl.ds(st_row, win), :], wf.at[slot, ai],
                 in_sems.at[slot, _np.int32(4 + a)]))
         return copies
 
@@ -137,35 +138,40 @@ def _strips_kernel(u_hbm, f_hbm, p_ref, o_hbm, wu, wf, ow, twu, twf,
         for d in in_dma(slot, k):
             d.wait()
 
-        planes = tuple(wu[slot, a].astype(jnp.float32) for a in range(4))
-        fplanes = tuple(wf[slot, a].astype(jnp.float32) for a in range(4))
+        planes = tuple(wu[slot, _np.int32(a)].astype(jnp.float32)
+                       for a in range(4))
+        fplanes = tuple(wf[slot, _np.int32(a)].astype(jnp.float32)
+                        for a in range(4))
         out = _plane_sweeps(planes, fplanes, win_start(k), nx, ny, stp(),
                             om, sweeps)
 
         @pl.when(k >= 2)
         def _():
             for a in range(4):
+                ai = _np.int32(a)
                 pltpu.make_async_copy(
-                    ow.at[slot, a],
-                    o_hbm.at[a, pl.ds(jnp.asarray((k - 2) * strip,
-                                                  jnp.int32), strip), :],
-                    out_sems.at[slot, _np.int32(a)]).wait()
+                    ow.at[slot, ai],
+                    o_hbm.at[ai, pl.ds(jnp.asarray((k - 2) * strip,
+                                                   jnp.int32), strip), :],
+                    out_sems.at[slot, ai]).wait()
 
         @pl.when(k == 0)
         def _():
             for a in range(4):
-                ow[slot, a] = out[a][0:strip].astype(ow.dtype)
+                ow[slot, _np.int32(a)] = out[a][0:strip].astype(ow.dtype)
 
         @pl.when(k > 0)
         def _():
             for a in range(4):
-                ow[slot, a] = out[a][halo:halo + strip].astype(ow.dtype)
+                ow[slot, _np.int32(a)] = (
+                    out[a][halo:halo + strip].astype(ow.dtype))
 
         for a in range(4):
+            ai = _np.int32(a)
             pltpu.make_async_copy(
-                ow.at[slot, a],
-                o_hbm.at[a, pl.ds(pl.multiple_of(k * strip, 8), strip), :],
-                out_sems.at[slot, _np.int32(a)]).start()
+                ow.at[slot, ai],
+                o_hbm.at[ai, pl.ds(pl.multiple_of(k * strip, 8), strip), :],
+                out_sems.at[slot, ai]).start()
         return (k + _np.int32(1)).astype(jnp.int32)
 
     jax.lax.while_loop(lambda k: k < n_loop, body, _np.int32(0))
@@ -174,11 +180,12 @@ def _strips_kernel(u_hbm, f_hbm, p_ref, o_hbm, wu, wf, ow, twu, twf,
     def tail_dma():
         copies = []
         for a in range(4):
+            ai = _np.int32(a)
             copies.append(pltpu.make_async_copy(
-                u_hbm.at[a, pl.ds(_np.int32(wst), wt), :], twu.at[a],
-                tail_sems.at[_np.int32(a)]))
+                u_hbm.at[ai, pl.ds(_np.int32(wst), wt), :], twu.at[ai],
+                tail_sems.at[ai]))
             copies.append(pltpu.make_async_copy(
-                f_hbm.at[a, pl.ds(_np.int32(wst), wt), :], twf.at[a],
+                f_hbm.at[ai, pl.ds(_np.int32(wst), wt), :], twf.at[ai],
                 tail_sems.at[_np.int32(4 + a)]))
         return copies
 
@@ -186,30 +193,33 @@ def _strips_kernel(u_hbm, f_hbm, p_ref, o_hbm, wu, wf, ow, twu, twf,
         d.start()
     for d in tail_dma():
         d.wait()
-    planes = tuple(twu[a].astype(jnp.float32) for a in range(4))
-    fplanes = tuple(twf[a].astype(jnp.float32) for a in range(4))
+    planes = tuple(twu[_np.int32(a)].astype(jnp.float32) for a in range(4))
+    fplanes = tuple(twf[_np.int32(a)].astype(jnp.float32) for a in range(4))
     out = _plane_sweeps(planes, fplanes, _np.int32(wst), nx, ny, stp(),
                         om, sweeps)
     off = t0 - wst
     for a in range(4):
-        twu[a] = out[a].astype(twu.dtype)
+        twu[_np.int32(a)] = out[a].astype(twu.dtype)
     for a in range(4):
+        ai = _np.int32(a)
         pltpu.make_async_copy(
-            twu.at[a, pl.ds(_np.int32(off), hx - t0), :],
-            o_hbm.at[a, pl.ds(_np.int32(t0), hx - t0), :],
-            tail_sems.at[_np.int32(a)]).start()
+            twu.at[ai, pl.ds(_np.int32(off), hx - t0), :],
+            o_hbm.at[ai, pl.ds(_np.int32(t0), hx - t0), :],
+            tail_sems.at[ai]).start()
 
     for k in range(max(0, n_loop - 2), n_loop):
         for a in range(4):
+            ai = _np.int32(a)
             pltpu.make_async_copy(
-                ow.at[_np.int32(k & 1), a],
-                o_hbm.at[a, pl.ds(_np.int32(k * strip), strip), :],
-                out_sems.at[_np.int32(k & 1), _np.int32(a)]).wait()
+                ow.at[_np.int32(k & 1), ai],
+                o_hbm.at[ai, pl.ds(_np.int32(k * strip), strip), :],
+                out_sems.at[_np.int32(k & 1), ai]).wait()
     for a in range(4):
+        ai = _np.int32(a)
         pltpu.make_async_copy(
-            twu.at[a, pl.ds(_np.int32(off), hx - t0), :],
-            o_hbm.at[a, pl.ds(_np.int32(t0), hx - t0), :],
-            tail_sems.at[_np.int32(a)]).wait()
+            twu.at[ai, pl.ds(_np.int32(off), hx - t0), :],
+            o_hbm.at[ai, pl.ds(_np.int32(t0), hx - t0), :],
+            tail_sems.at[ai]).wait()
 
 
 def multisweep_planes(
@@ -256,9 +266,26 @@ def multisweep_planes(
     # more row out), so `sweeps` sweeps need 2*sweeps rows per side,
     # rounded up to the 8-row DMA alignment
     halo = -(-2 * int(sweeps) // _HALO_ALIGN) * _HALO_ALIGN
-    # scratch: 2 slots x 8 windows + 2 x 4 out strips + 8 tail windows
-    cap = int(7e6 / (24 * hy * up.dtype.itemsize)) - halo
-    strip = max(8, (min(strip, cap, hx) // 8) * 8)
+    # Total kernel VMEM = scratch windows + the Mosaic stack for the sweep
+    # bodies (~24 live (rows, hy) f32 arrays, calibrated from two measured
+    # scoped-OOM reports: 16.44M at hy=640/strip=104 -> 23 live; 16.46M at
+    # hy=1152/strip=40 -> 21 live). The tail window wt = hx - wst grows
+    # when strip does not divide hx, so estimate each candidate strip with
+    # its ACTUAL windows and take the largest that fits a 14.5 MB budget.
+    isz = up.dtype.itemsize
+
+    def _est(s):
+        wwin = s + 2 * halo
+        nl = max(0, hx // s - 1)
+        wwt = hx - max(0, nl * s - halo)
+        scratch = hy * isz * 4 * (4 * wwin + 2 * s + 2 * wwt)
+        stack = 24 * max(wwin, wwt) * hy * 4
+        return scratch + stack
+
+    strip = min(strip, hx) // 8 * 8
+    while strip > 8 and _est(strip) > 14.5e6:
+        strip -= 8
+    strip = max(8, strip)
     n_strips = hx // strip
     if n_strips < 2 or strip < halo:
         kernel = partial(_whole_kernel, nx=nx, ny=ny, sweeps=int(sweeps),

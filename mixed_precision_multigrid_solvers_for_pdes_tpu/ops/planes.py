@@ -43,12 +43,27 @@ from . import stencil as st_mod
 
 PLANE_ORDER = ((0, 0), (0, 1), (1, 0), (1, 1))  # ee, eo, oe, oo
 
+# TPU (sublane, lane) tile. Plane arrays carry their OWN tile padding:
+# half a tile-padded fine width is generally NOT 128-lane aligned (e.g.
+# 1152/2 = 576 = 4.5 tiles), and Mosaic rejects memref slices of
+# misaligned lane extents inside the strip-DMA plane kernel. Padded rows/
+# cols hold zeros and are masked off by plane_masks (gi/gj fall outside
+# the logical grid).
+_SUBLANE, _LANE = 8, 128
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
 
 @lru_cache(maxsize=64)
 def _lane_select_np(py: int, hy: int, offset: int):
-    """(py, hy) 0/1 matrix S with S[2j + offset, j] = 1."""
+    """(py, hy) 0/1 matrix S with S[2j + offset, j] = 1 for the logical
+    half-width py // 2; columns j >= py // 2 (lane-tile padding) are
+    all-zero."""
     S = np.zeros((py, hy), np.float32)
-    S[np.arange(hy) * 2 + offset, np.arange(hy)] = 1.0
+    j = np.arange(py // 2)
+    S[j * 2 + offset, j] = 1.0
     return S
 
 
@@ -58,7 +73,7 @@ def _lane_sel(py: int, hy: int, offset: int, dtype):
 
 def plane_shape(pshape):
     px, py = pshape
-    return px // 2, py // 2
+    return _round_up(px // 2, _SUBLANE), _round_up(py // 2, _LANE)
 
 
 def _lane_halves(x):
@@ -79,12 +94,15 @@ def split_field(u):
     0/1) or the transpose trick for f64 — never by a lane-strided slice
     (catastrophic relayout on TPU, CLAUDE.md rule)."""
     px, py = u.shape
-    hx, hy = px // 2, py // 2
-    rows = u.reshape(hx, 2, py)
+    hx0 = px // 2
+    hx, hy = plane_shape((px, py))
+    rows = u.reshape(hx0, 2, py)
     even_rows, odd_rows = rows[:, 0], rows[:, 1]
     if u.dtype == jnp.float64:
         ee, eo = _lane_halves(even_rows)
         oe, oo = _lane_halves(odd_rows)
+        pad = ((0, 0), (0, hy - py // 2))
+        ee, eo, oe, oo = (jnp.pad(x, pad) for x in (ee, eo, oe, oo))
     else:
         Se = _lane_sel(py, hy, 0, u.dtype)
         So = _lane_sel(py, hy, 1, u.dtype)
@@ -93,7 +111,10 @@ def split_field(u):
         eo = jnp.dot(even_rows, So, precision=hi)
         oe = jnp.dot(odd_rows, Se, precision=hi)
         oo = jnp.dot(odd_rows, So, precision=hi)
-    return jnp.stack([ee, eo, oe, oo])
+    out = jnp.stack([ee, eo, oe, oo])
+    if hx > hx0:
+        out = jnp.pad(out, ((0, 0), (0, hx - hx0), (0, 0)))
+    return out
 
 
 def _lane_interleave(a, b):
@@ -106,9 +127,12 @@ def _lane_interleave(a, b):
 def merge_field(planes, pshape):
     """(4, hx, hy) planes -> (px, py) padded field (inverse of split)."""
     px, py = pshape
+    hx0 = px // 2
+    planes = planes[:, :hx0]
     ee, eo, oe, oo = planes[0], planes[1], planes[2], planes[3]
     hx, hy = ee.shape
     if planes.dtype == jnp.float64:
+        ee, eo, oe, oo = (x[:, : py // 2] for x in (ee, eo, oe, oo))
         even_rows = _lane_interleave(ee, eo)
         odd_rows = _lane_interleave(oe, oo)
     else:

@@ -39,11 +39,17 @@ def test_split_merge_roundtrip(dtype):
     g = Grid(65, 65)
     u = _field(g, dtype)
     planes = pln.split_field(u)
-    # plane (a, b) holds u[2i+a, 2j+b]
+    # plane (a, b) holds u[2i+a, 2j+b] at the origin; the plane array
+    # carries its own (8, 128) tile padding (zeros) beyond that
+    assert planes.shape[1:] == pln.plane_shape(g.shape_padded)
     un = np.asarray(u)
     for k, (a, b) in enumerate(pln.PLANE_ORDER):
-        np.testing.assert_array_equal(np.asarray(planes[k]),
-                                      un[a::2, b::2])
+        blk = un[a::2, b::2]
+        got = np.asarray(planes[k])
+        np.testing.assert_array_equal(got[: blk.shape[0], : blk.shape[1]],
+                                      blk)
+        assert not got[blk.shape[0]:, :].any()
+        assert not got[:, blk.shape[1]:].any()
     back = pln.merge_field(planes, g.shape_padded)
     np.testing.assert_array_equal(np.asarray(back), un)
 
